@@ -1,0 +1,57 @@
+import os
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from vector_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("vector-spark-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def assert_df_equal(spark_df, duck_rel, sort_cols=None, approx_cols=(), tol=1e-9):
+    """Compare a Spark DataFrame against a DuckDB relation: same columns,
+    same rows (order-insensitive unless sort_cols given)."""
+    import pandas as pd
+
+    sp = spark_df.toPandas()
+    dk = duck_rel.df()
+    for frame in (sp, dk):
+        for c in frame.columns:
+            if str(frame[c].dtype).startswith("datetime64"):
+                frame[c] = frame[c].astype("datetime64[us]")
+    assert sorted(sp.columns) == sorted(dk.columns), (sorted(sp.columns), sorted(dk.columns))
+    cols = sorted(sp.columns)
+    sp, dk = sp[cols], dk[cols]
+    sort_cols = sort_cols or cols
+    sp = sp.sort_values(sort_cols).reset_index(drop=True)
+    dk = dk.sort_values(sort_cols).reset_index(drop=True)
+    assert len(sp) == len(dk), f"row counts differ: spark={len(sp)} duckdb={len(dk)}"
+    for c in cols:
+        if c in approx_cols:
+            import numpy as np
+            a = sp[c].astype(float).to_numpy()
+            b = dk[c].astype(float).to_numpy()
+            ok = np.isclose(a, b, rtol=tol, atol=tol, equal_nan=True)
+            assert ok.all(), f"column {c}: {int((~ok).sum())} mismatches, first at {(~ok).argmax()}"
+        else:
+            a, b = sp[c], dk[c]
+            try:
+                pd.testing.assert_series_equal(a, b, check_dtype=False, check_names=False)
+            except AssertionError as e:
+                raise AssertionError(f"column {c} differs: {e}") from None

@@ -1,0 +1,109 @@
+"""End-to-end parse -> enrich -> route correctness vs the DuckDB oracle.
+
+Mirrors the reference's route semantics tests (src/transforms/route.rs:177-419):
+all-match duplication, single-match, no-match -> _unmatched.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import assert_df_equal
+from vector_spark.functions.oracle import ROUTE_SQL, UNMATCHED_SQL, parsed_cte
+from vector_spark.operators.route import flagship_conditions, route, route_exploded
+from vector_spark.plans.pipeline import parsed_enriched, routed, sink_counts
+from vector_spark.sources.transcripts import ensure_transcripts
+
+SF = "sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tpath():
+    return ensure_transcripts(SF)
+
+
+def test_classify_counts(spark, ddb, tpath):
+    from vector_spark.functions.parse import classify
+    df = (spark.read.parquet(tpath)
+          .select(classify(F.col("text")).alias("kind"))
+          .groupBy("kind").agg(F.count("*").alias("n")))
+    rel = ddb.sql(f"WITH {parsed_cte(tpath)} SELECT kind, count(*) AS n FROM parsed GROUP BY kind")
+    assert_df_equal(df, rel)
+    kinds = {r["kind"] for r in df.collect()}
+    assert kinds == {"apache_common", "syslog5424", "json", "logfmt", "freeform"}
+
+
+def test_parsed_fields_match_oracle(spark, ddb, tpath):
+    from vector_spark.functions.parse import parse_all
+    cols = ["conv_id", "turn_idx", "kind", "ip", "method", "path", "status", "bytes",
+            "log_ts", "hostname", "appname", "message", "json_method", "json_status",
+            "duration_ms", "level", "code", "msg", "attempt", "status_any"]
+    df = parse_all(spark.read.parquet(tpath)).select(*cols)
+    rel = ddb.sql(f"WITH {parsed_cte(tpath)} SELECT {', '.join(cols)} FROM parsed")
+    assert_df_equal(df, rel, sort_cols=["conv_id", "turn_idx"])
+
+
+def test_route_duplication_semantics(spark):
+    """An event matching several conditions lands in each route
+    (route.rs test route_pass_all_route_conditions)."""
+    df = spark.createDataFrame(
+        [("a", 500, "x"), ("b", 200, None), ("c", None, None)],
+        "id string, status int, tool string",
+    )
+    conds = {"errors": F.col("status") >= 500, "tools": F.col("tool").isNotNull()}
+    out = route(df, conds)
+    assert [r["id"] for r in out["errors"].collect()] == ["a"]
+    assert [r["id"] for r in out["tools"].collect()] == ["a"]
+    # b (status 200, no tool) and c (all null) match nothing -> _unmatched
+    assert sorted(r["id"] for r in out["_unmatched"].collect()) == ["b", "c"]
+    exploded = route_exploded(df, conds)
+    got = {(r["id"], r["route"]) for r in exploded.collect()}
+    assert got == {("a", "errors"), ("a", "tools"), ("b", "_unmatched"), ("c", "_unmatched")}
+
+
+def test_routed_rows_match_oracle(spark, ddb, tpath):
+    df = routed(spark, SF).select("route", "conv_id", "turn_idx", "text")
+    branches = [
+        f"SELECT '{name}' AS route, conv_id, turn_idx, text FROM enriched WHERE coalesce({cond}, false)"
+        for name, cond in ROUTE_SQL.items()
+    ]
+    branches.append(f"SELECT '_unmatched' AS route, conv_id, turn_idx, text FROM enriched WHERE {UNMATCHED_SQL}")
+    rel = ddb.sql(f"WITH {parsed_cte(tpath)}, enriched AS (SELECT * FROM parsed) " + " UNION ALL ".join(branches))
+    assert_df_equal(df, rel, sort_cols=["route", "conv_id", "turn_idx"])
+
+
+def test_enrichment_joins(spark, ddb, tpath):
+    from vector_spark.sources.enrichment import ensure_role_meta, ensure_tool_meta
+    tm, rm = ensure_tool_meta(), ensure_role_meta()
+    df = parsed_enriched(spark, SF).select("conv_id", "turn_idx", "tool", "owner_team", "risk_level", "policy")
+    rel = ddb.sql(f"""
+        WITH {parsed_cte(tpath)}
+        SELECT p.conv_id, p.turn_idx, p.tool, tm.owner_team, tm.risk_level, rm.policy
+        FROM parsed p
+        LEFT JOIN read_parquet('{tm}') tm ON p.tool = tm.tool
+        LEFT JOIN read_parquet('{rm}') rm
+          ON p.role = rm.role AND p.ts >= rm.valid_from AND p.ts < rm.valid_to
+    """)
+    assert_df_equal(df, rel, sort_cols=["conv_id", "turn_idx"])
+    # case-insensitive option: 'Bash' rows match only when insensitive
+    sens = parsed_enriched(spark, SF, case_sensitive_tools=True)
+    insens = parsed_enriched(spark, SF, case_sensitive_tools=False)
+    assert sens.filter((F.col("tool") == "Bash") & F.col("owner_team").isNotNull()).count() == 0
+    n_bash = insens.filter((F.col("tool") == "Bash") & (F.col("owner_team") == "infra")).count()
+    assert n_bash > 0
+
+
+def test_sink_counts_match_oracle(spark, ddb, tpath):
+    df = sink_counts(spark, SF)
+    branches = [
+        f"SELECT '{name}' AS route, * FROM enriched WHERE coalesce({cond}, false)"
+        for name, cond in ROUTE_SQL.items()
+    ]
+    branches.append(f"SELECT '_unmatched' AS route, * FROM enriched WHERE {UNMATCHED_SQL}")
+    rel = ddb.sql(f"""
+        WITH {parsed_cte(tpath)}, enriched AS (SELECT * FROM parsed),
+        r AS ({' UNION ALL '.join(branches)})
+        SELECT route, count(*) AS n_events, count(DISTINCT conv_id) AS n_convs,
+               sum(bytes) AS sum_bytes, sum(CAST(status_any AS BIGINT)) AS sum_status
+        FROM r GROUP BY route
+    """)
+    assert_df_equal(df, rel, sort_cols=["route"])

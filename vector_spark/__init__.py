@@ -1,0 +1,16 @@
+"""vector_spark — a from-scratch PySpark-native log/telemetry pipeline engine.
+
+Re-expresses the capabilities of the reference observability pipeline
+(Vector, `/root/reference`) — sources -> transforms -> sinks over
+self-describing events — as an idiomatic Spark DataFrame DAG:
+
+- parse transforms (VRL ``parse_*``)      -> native column expressions / Arrow UDFs
+- filter/route transforms                 -> DataFrame predicates + multi-way fan-out
+- enrichment table lookups                -> broadcast hash joins
+- stateful transforms (dedupe/reduce/...) -> window functions / groupBy aggs
+- sinks                                   -> partitioned parquet writes + metrics manifest
+
+See SURVEY.md for the operator-by-operator mapping with reference citations.
+"""
+
+__version__ = "0.1.0"

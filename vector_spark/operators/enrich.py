@@ -1,0 +1,83 @@
+"""Enrichment lookups as broadcast hash joins.
+
+Reference: CSV enrichment table + seahash index, conditions Equals
+(case (in)sensitive) / BetweenDates, column-pruning ``select``
+(src/enrichment_tables/file.rs:293-384; lib/enrichment/src/lib.rs:23-63).
+
+Spark mapping: the table is tiny -> ``broadcast()`` hint guarantees a
+BroadcastHashJoin (no shuffle of the 100TB fact side). Date-range
+conditions ride along as non-equi join predicates on the broadcast join.
+``get_enrichment_table_record`` requires exactly one match — enforced by
+an optional uniqueness assertion on the enrichment table (driver-side,
+the table is small by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _prune(table: DataFrame, key_cols: list[str], select: list[str] | None) -> DataFrame:
+    if select is not None:
+        keep = list(dict.fromkeys(key_cols + select))
+        table = table.select(*keep)
+    return table
+
+
+def enrich_equals(
+    df: DataFrame,
+    table: DataFrame,
+    on: str,
+    table_key: str | None = None,
+    case_sensitive: bool = True,
+    select: list[str] | None = None,
+    assert_unique: bool = False,
+    how: str = "left",
+) -> DataFrame:
+    """Equals-condition lookup: left broadcast hash join on one key.
+
+    ``case_sensitive=False`` mirrors the reference's CaseInsensitive index
+    (file.rs:308-334): both sides are lowercased for matching; the event's
+    original value is preserved.
+    """
+    table_key = table_key or on
+    table = _prune(table, [table_key], select)
+    if assert_unique:
+        dup = (table.groupBy(F.lower(F.col(table_key)) if not case_sensitive else F.col(table_key))
+               .count().filter(F.col("count") > 1).limit(1).count())
+        if dup:
+            raise ValueError(f"enrichment table not unique on {table_key!r}")
+    if case_sensitive:
+        cond = df[on] == table[table_key]
+    else:
+        cond = F.lower(df[on]) == F.lower(table[table_key])
+    joined = df.join(F.broadcast(table), cond, how)
+    if table_key == on:
+        joined = joined.drop(table[table_key])
+    return joined
+
+
+def enrich_range(
+    df: DataFrame,
+    table: DataFrame,
+    on: str,
+    ts_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    select: list[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Equals + BetweenDates lookup (lib/enrichment/src/lib.rs:26-41):
+    equi-key broadcast hash join with the [from, to) range as an extra
+    join predicate. Range bounds are dropped from the output."""
+    table = _prune(table, [on, from_col, to_col], select)
+    cond = (
+        (df[on] == table[on])
+        & (df[ts_col] >= table[from_col])
+        & (df[ts_col] < table[to_col])
+    )
+    return (
+        df.join(F.broadcast(table), cond, how)
+        .drop(table[on]).drop(table[from_col]).drop(table[to_col])
+    )

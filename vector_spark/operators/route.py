@@ -1,0 +1,87 @@
+"""Route transforms: multi-way fan-out of one stream into per-sink streams.
+
+Reference semantics:
+
+- ``route`` (src/transforms/route.rs:40-55,64-91): NON-exclusive — every
+  event is tested against every named condition and duplicated into each
+  matching output port; events matching none go to the reserved
+  ``_unmatched`` port (default on). Spark: one filtered DataFrame per
+  route over a shared (cached) parent, or a single-pass ``routes`` array
+  column + ``explode`` when all routes flow to one downstream.
+
+- ``exclusive_route`` (src/transforms/exclusive_route/transform.rs:46-58):
+  first-match-wins, exactly one output per event. Spark: a single
+  ``when``-chain label column — the cheap path for partitionBy writes.
+
+At scale: the filtered-DataFrames form re-reads the scan N times unless
+the parent is persisted; ``route_flags``/``route_exploded`` is single-scan
+and is what the fan-out writer uses inside one job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+UNMATCHED = "_unmatched"
+
+
+def _coalesce_false(c: Column) -> Column:
+    return F.coalesce(c, F.lit(False))
+
+
+def route(df: DataFrame, conditions: dict[str, Column], reroute_unmatched: bool = True) -> dict[str, DataFrame]:
+    """Non-exclusive route -> {route_name: DataFrame}. An event may appear
+    in several outputs (reference test route_pass_all_route_conditions,
+    route.rs:214-257)."""
+    out = {name: df.filter(_coalesce_false(cond)) for name, cond in conditions.items()}
+    if reroute_unmatched:
+        any_match = None
+        for c in conditions.values():
+            cc = _coalesce_false(c)
+            any_match = cc if any_match is None else (any_match | cc)
+        out[UNMATCHED] = df.filter(~any_match)
+    return out
+
+
+def route_flags(df: DataFrame, conditions: dict[str, Column], reroute_unmatched: bool = True) -> DataFrame:
+    """Single-pass non-exclusive route: adds ``routes array<string>`` with
+    every matching route name (or [_unmatched])."""
+    pairs = [F.when(_coalesce_false(c), F.lit(n)) for n, c in conditions.items()]
+    arr = F.array_compact(F.array(*pairs))
+    if reroute_unmatched:
+        arr = F.when(F.size(arr) == 0, F.array(F.lit(UNMATCHED))).otherwise(arr)
+    return df.withColumn("routes", arr)
+
+
+def route_exploded(df: DataFrame, conditions: dict[str, Column], reroute_unmatched: bool = True) -> DataFrame:
+    """Non-exclusive route as one-row-per-(event, matched route) — the
+    duplication semantics materialized, single scan."""
+    return route_flags(df, conditions, reroute_unmatched).withColumn(
+        "route", F.explode("routes")
+    ).drop("routes")
+
+
+def exclusive_route(df: DataFrame, conditions: dict[str, Column], unmatched: str = UNMATCHED) -> DataFrame:
+    """First-match-wins route label column (exclusive_route semantics)."""
+    expr: Column | None = None
+    for name, cond in conditions.items():
+        w = F.when(_coalesce_false(cond), F.lit(name))
+        expr = w if expr is None else expr.when(_coalesce_false(cond), F.lit(name))
+    assert expr is not None, "exclusive_route needs at least one condition"
+    return df.withColumn("route", expr.otherwise(F.lit(unmatched)))
+
+
+# ---------------------------------------------------------------------------
+# The flagship pipeline's route table. Keep in sync with
+# vector_spark.functions.oracle.ROUTE_SQL (same predicates, SQL dialect).
+# ---------------------------------------------------------------------------
+
+def flagship_conditions() -> dict[str, Column]:
+    return {
+        "errors": (F.col("status_any") >= 500)
+        | (F.col("level") == "error")
+        | F.coalesce(F.col("message"), F.lit("")).startswith("error:"),
+        "tool_calls": F.col("tool").isNotNull(),
+        "http": F.col("kind") == "apache_common",
+    }

@@ -1,0 +1,72 @@
+"""The flagship transcripts pipeline: parse -> enrich -> route -> aggregate.
+
+This is the Spark-first re-expression of the reference's core topology
+(source -> remap -> route -> sinks, per the north rule): one declarative
+DataFrame DAG, fully JVM-side, with broadcast joins for enrichment and a
+single-pass exploded route for the per-sink aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_spark.functions.parse import parse_all
+from vector_spark.operators.enrich import enrich_equals, enrich_range
+from vector_spark.operators.route import flagship_conditions, route_exploded
+from vector_spark.session import apply_runtime_confs
+from vector_spark.sources.enrichment import ensure_role_meta, ensure_tool_meta
+from vector_spark.sources.transcripts import ensure_transcripts
+
+
+def load_transcripts(spark: SparkSession, sf: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return spark.read.parquet(ensure_transcripts(sf))
+
+
+def parsed_enriched(spark: SparkSession, sf: str, case_sensitive_tools: bool = True) -> DataFrame:
+    """scan -> parse (remap) -> enrich (tool equals-join, role range-join)."""
+    df = parse_all(load_transcripts(spark, sf))
+    tool_meta = spark.read.parquet(ensure_tool_meta())
+    role_meta = spark.read.parquet(ensure_role_meta())
+    df = enrich_equals(df, tool_meta, on="tool", case_sensitive=case_sensitive_tools)
+    df = enrich_range(df, role_meta, on="role", ts_col="ts")
+    return df
+
+
+def routed(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-exclusive route materialized as (event x matched-route) rows."""
+    return route_exploded(parsed_enriched(spark, sf), flagship_conditions())
+
+
+def sink_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-sink aggregate counts — the north rule's primary correctness
+    gate (per-sink aggregate counts + routed-row equality)."""
+    return (
+        routed(spark, sf)
+        .groupBy("route")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.sum("bytes").alias("sum_bytes"),
+            F.sum(F.col("status_any").cast("long")).alias("sum_status"),
+        )
+    )
+
+
+def run_flagship(spark: SparkSession, sf: str, out_dir: str | None = None) -> dict[str, int]:
+    """End-to-end batch job: parse -> enrich -> route -> write one dir per
+    sink (exclusive-route style partitionBy write on the exploded routes —
+    single pass, no N-fold rescan) -> per-sink counts.
+
+    Returns {route: row_count} from the write-side metrics table, the
+    Spark analogue of component_sent_events_total
+    (reference docs/specs/component.md:125,223).
+    """
+    df = routed(spark, sf)
+    if out_dir:
+        (df.write.mode("overwrite").partitionBy("route").parquet(os.path.join(out_dir, "sinks")))
+    counts = {r["route"]: r["n"] for r in df.groupBy("route").agg(F.count("*").alias("n")).collect()}
+    return counts

@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for the 100TB design point (AQE on, skew-join handling,
+Arrow for the few pandas-UDF paths) while remaining correct on local[N].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# Runtime confs every job needs regardless of how the session was built
+# (the correctness driver may hand us its own session).
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Set runtime-settable confs on an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime-settable on this build; defaults are acceptable
+    return spark
+
+
+def get_spark(
+    app_name: str = "vector-spark",
+    master: str | None = None,
+    shuffle_partitions: int = 32,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.sql.files.maxPartitionBytes", "128m")
+    builder = builder.config("spark.driver.memory", "8g")
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    if extra_confs:
+        for k, v in extra_confs.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return apply_runtime_confs(spark)

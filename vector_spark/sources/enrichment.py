@@ -1,0 +1,73 @@
+"""Enrichment tables (reference: src/enrichment_tables/file.rs semantics).
+
+Small dimension tables loaded once and broadcast to every executor — the
+Spark analogue of the reference's in-memory CSV enrichment table with its
+seahash index (file.rs:183-235, index at :425-436). Lookup conditions:
+
+- ``Equals`` (case sensitive or not)        -> broadcast hash equi-join
+- ``BetweenDates`` / ``FromDate``/``ToDate``-> broadcast join + range condition
+
+Fixtures are deterministic constants written as parquet (and CSV) so the
+DuckDB oracle can read the exact same rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ENRICH_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "fixtures", "enrich")
+
+# keyed uniquely on `tool` (single-row get_enrichment_table_record semantics,
+# reference lib/enrichment/src/lib.rs:54-63). Lowercase keys only: rows with
+# tool='Bash' in the data match only under case-insensitive lookup.
+TOOL_META = {
+    "tool": ["bash", "browser", "search", "python", "editor"],
+    "owner_team": ["infra", "web", "web", "ml", "devx"],
+    "risk_level": ["high", "medium", "low", "medium", "low"],
+    "max_runtime_s": [120, 300, 60, 600, 240],
+}
+
+# role + validity window — exercises BetweenDates range conditions
+# (reference lib/enrichment/src/lib.rs:26-41). Windows are [from, to).
+ROLE_META = {
+    "role": ["user", "user", "assistant", "assistant", "tool", "system"],
+    "policy": ["standard", "strict", "model-a", "model-b", "sandboxed", "pinned"],
+    "valid_from": ["2026-01-01T00:00:00", "2026-01-15T00:00:00", "2026-01-01T00:00:00",
+                   "2026-01-20T00:00:00", "2026-01-01T00:00:00", "2026-01-01T00:00:00"],
+    "valid_to": ["2026-01-15T00:00:00", "2027-01-01T00:00:00", "2026-01-20T00:00:00",
+                 "2027-01-01T00:00:00", "2027-01-01T00:00:00", "2027-01-01T00:00:00"],
+}
+
+
+def _write(path: str, table: pa.Table) -> str:
+    if not os.path.exists(path):
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def ensure_tool_meta(enrich_dir: str = ENRICH_DIR) -> str:
+    os.makedirs(enrich_dir, exist_ok=True)
+    t = pa.table({
+        "tool": pa.array(TOOL_META["tool"], pa.string()),
+        "owner_team": pa.array(TOOL_META["owner_team"], pa.string()),
+        "risk_level": pa.array(TOOL_META["risk_level"], pa.string()),
+        "max_runtime_s": pa.array(TOOL_META["max_runtime_s"], pa.int64()),
+    })
+    return _write(os.path.join(enrich_dir, "tool_meta.parquet"), t)
+
+
+def ensure_role_meta(enrich_dir: str = ENRICH_DIR) -> str:
+    os.makedirs(enrich_dir, exist_ok=True)
+    import pandas as pd
+    t = pa.table({
+        "role": pa.array(ROLE_META["role"], pa.string()),
+        "policy": pa.array(ROLE_META["policy"], pa.string()),
+        "valid_from": pa.array(pd.to_datetime(ROLE_META["valid_from"]), pa.timestamp("us")),
+        "valid_to": pa.array(pd.to_datetime(ROLE_META["valid_to"]), pa.timestamp("us")),
+    })
+    return _write(os.path.join(enrich_dir, "role_meta.parquet"), t)

@@ -1,0 +1,183 @@
+"""Deterministic synthetic transcripts table (the pipeline's input).
+
+Shape per BASELINE.json.input_hint:
+    conv_id:string, turn_idx:int32, role:string, text:string,
+    tool:string, ts:timestamp
+
+The ``text`` column carries five line corpora modeled on the reference's
+demo_logs generator (reference: src/sources/demo_logs.rs:104-137):
+apache_common, syslog5424, json, logfmt, freeform. Every line embeds a
+unique ``conv_id/turn_idx`` tag so per-turn text equality is a real check.
+
+Generation is pure seeded numpy/pandas (seed=42, no wall clock), written
+once per scale factor as a single parquet file with multiple row groups
+(splittable by Spark), via atomic tmp+rename so concurrent/interrupted
+generation is idempotent (pattern of the reference checkpointer,
+lib/file-source-common/src/checkpointer.rs:188-227).
+
+Conversation sizes are zipf-distributed plus one "hot" conversation
+holding 5% of all turns — deliberately skewed to exercise salting.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "fixtures", "transcripts")
+
+# turns per scale factor (sf0.1 ~= the reference bench's ~2M turns)
+N_TURNS = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 2_000_000}
+
+TOOLS = np.array(["bash", "browser", "search", "python", "editor"])
+ROLES = np.array(["user", "assistant", "tool", "system"])
+METHODS = np.array(["GET", "POST", "PUT", "DELETE"])
+USERS = np.array(["frank", "alice", "bob", "-", "carol"])
+APACHE_STATUS = np.array([200, 200, 200, 201, 301, 404, 500, 503])
+JSON_STATUS = np.array([200, 200, 404, 500, 503])
+JSON_METHOD = np.array(["GET", "POST"])
+JSON_PATH = np.array(["/login", "/logout", "/search", "/checkout"])
+APPS = np.array(["app", "auth", "db", "cache", "web"])
+SYSLOG_MSG = np.array([
+    "error: connection reset",
+    "user login ok",
+    "warn: high memory",
+    "request completed",
+    "error: timeout upstream",
+])
+LOGFMT_LEVEL = np.array(["info", "warn", "error"])
+LOGFMT_MSG = np.array(["retry scheduled", "cache miss", "slow query detected"])
+FREEFORM = np.array([
+    "the quick brown fox jumps over the lazy dog",
+    "café résumé naïve — multibyte ☃ check",
+    'she said "hello" and left',
+    "agent paused to think about the plan",
+    "final answer delivered to the user",
+])
+
+BASE_EPOCH = 1767225600  # 2026-01-01T00:00:00Z
+
+
+def _mix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Cheap deterministic per-row 32-bit mix (vectorized)."""
+    h = (a.astype(np.uint64) * np.uint64(2654435761)
+         + b.astype(np.uint64) * np.uint64(40503)
+         + np.uint64(12345))
+    h = (h ^ (h >> np.uint64(13))) * np.uint64(0x5BD1E995)
+    return (h % np.uint64(2**32)).astype(np.int64)
+
+
+def generate_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
+    n_convs = max(4, n_turns // 20)
+    hot = n_turns // 20  # conv 0 gets 5% of all turns
+    rng = np.random.default_rng(seed)
+    w = 1.0 / np.arange(1, n_convs, dtype=np.float64) ** 0.7
+    w /= w.sum()
+    sizes = np.concatenate(([hot], rng.multinomial(n_turns - hot, w)))
+    conv = np.repeat(np.arange(n_convs, dtype=np.int64), sizes)
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    turn = np.arange(n_turns, dtype=np.int64) - np.repeat(starts, sizes)
+
+    h = _mix(conv, turn)
+
+    conv_id = pd.Series(np.char.add("conv-", np.char.zfill(conv.astype("U8"), 8)))
+    turn_s = pd.Series(turn.astype("U10"))
+    tag = "turn=" + conv_id + "/" + turn_s
+
+    r = h % 100
+    role = np.where(r < 35, "user", np.where(r < 70, "assistant", np.where(r < 85, "tool", "system")))
+    tool = np.where(role == "tool", TOOLS[(h >> 8) % 5], None)
+    # occasional mixed-case tool key to exercise case-(in)sensitive enrichment
+    tool = np.where((role == "tool") & (h % 37 == 0), "Bash", tool)
+
+    ts_sec = BASE_EPOCH + (conv * 131) % (86400 * 30) + 7 * turn
+    ts = ts_sec.astype("datetime64[s]").astype("datetime64[us]")
+    tsp = pd.Series(ts)
+
+    c = (h >> 16) % 100  # corpus selector
+    text = pd.Series(np.empty(n_turns, dtype=object))
+
+    m = c < 30  # apache_common
+    if m.any():
+        hm, tg = h[m], tag[m]
+        ip = "10.0." + pd.Series(((hm >> 4) % 256).astype("U3"), index=tg.index) + "." + pd.Series(((hm >> 12) % 256).astype("U3"), index=tg.index)
+        ats = tsp[m].dt.strftime("%d/%b/%Y:%H:%M:%S +0000")
+        text[m] = (
+            ip + " - " + pd.Series(USERS[(hm >> 5) % 5], index=tg.index)
+            + " [" + ats + "] \"" + pd.Series(METHODS[(hm >> 7) % 4], index=tg.index)
+            + " /api/v1/items/" + conv_id[m] + "/" + turn_s[m] + " HTTP/1.1\" "
+            + pd.Series(APACHE_STATUS[(hm >> 9) % 8].astype("U3"), index=tg.index)
+            + " " + pd.Series((hm % 5000).astype("U4"), index=tg.index)
+        )
+
+    m = (c >= 30) & (c < 55)  # syslog5424
+    if m.any():
+        hm, tg = h[m], tag[m]
+        iso = tsp[m].dt.strftime("%Y-%m-%dT%H:%M:%S") + "." + pd.Series((hm % 1000).astype("U3"), index=tg.index).str.zfill(3) + "Z"
+        text[m] = (
+            "<" + pd.Series((32 + hm % 8).astype("U2"), index=tg.index) + ">1 " + iso
+            + " host" + pd.Series((hm % 20).astype("U2"), index=tg.index).str.zfill(2)
+            + " " + pd.Series(APPS[(hm >> 6) % 5], index=tg.index)
+            + " " + pd.Series((1000 + hm % 9000).astype("U4"), index=tg.index)
+            + " ID" + pd.Series((hm % 100).astype("U3"), index=tg.index)
+            + " - " + pd.Series(SYSLOG_MSG[(hm >> 10) % 5], index=tg.index) + " " + tg
+        )
+
+    m = (c >= 55) & (c < 75)  # json
+    if m.any():
+        hm, tg = h[m], tag[m]
+        dur = pd.Series((hm % 10000), index=tg.index)
+        text[m] = (
+            '{"method":"' + pd.Series(JSON_METHOD[(hm >> 7) % 2], index=tg.index)
+            + '","path":"' + pd.Series(JSON_PATH[(hm >> 3) % 4], index=tg.index)
+            + '","status":' + pd.Series(JSON_STATUS[(hm >> 9) % 5].astype("U3"), index=tg.index)
+            + ',"duration_ms":' + (dur // 10).astype("U4") + "." + (dur % 10).astype("U1")
+            + ',"user":"u' + pd.Series((hm % 50).astype("U2"), index=tg.index)
+            + '","turn":"' + conv_id[m] + "/" + turn_s[m] + '"}'
+        )
+
+    m = (c >= 75) & (c < 90)  # logfmt
+    if m.any():
+        hm, tg = h[m], tag[m]
+        text[m] = (
+            "level=" + pd.Series(LOGFMT_LEVEL[(hm >> 11) % 3], index=tg.index)
+            + " code=E" + pd.Series((hm % 90).astype("U2"), index=tg.index)
+            + ' msg="' + pd.Series(LOGFMT_MSG[(hm >> 13) % 3], index=tg.index) + " " + tg
+            + '" attempt=' + pd.Series((hm % 5).astype("U1"), index=tg.index)
+        )
+
+    m = c >= 90  # freeform
+    if m.any():
+        text[m] = pd.Series(FREEFORM[(h[m] >> 15) % 5], index=tag[m].index) + " " + tag[m]
+
+    return pa.table({
+        "conv_id": pa.array(conv_id, type=pa.string()),
+        "turn_idx": pa.array(turn.astype(np.int32), type=pa.int32()),
+        "role": pa.array(role, type=pa.string()),
+        "text": pa.array(text, type=pa.string()),
+        "tool": pa.array(tool, type=pa.string()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+    })
+
+
+def ensure_transcripts(sf: str, fixture_dir: str = FIXTURE_DIR) -> str:
+    """Generate (once) and return the path of the transcripts parquet for a scale factor.
+
+    ``sf`` may be a label ("sf0.01") or a testdata dir path ("/root/testdata/sf0.01").
+    """
+    label = os.path.basename(sf.rstrip("/")) if os.sep in sf else sf
+    if label not in N_TURNS:
+        raise ValueError(f"unknown scale factor {label!r}; known: {sorted(N_TURNS)}")
+    os.makedirs(fixture_dir, exist_ok=True)
+    path = os.path.join(fixture_dir, f"{label}.parquet")
+    if not os.path.exists(path):
+        tbl = generate_transcripts(N_TURNS[label])
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(tbl, tmp, row_group_size=64 * 1024)
+        os.replace(tmp, path)  # atomic
+    return path
