@@ -1,0 +1,49 @@
+"""Generic driver-contract test: every queries() entry must match its
+oracle_sql() twin (same columns, same rows) — exactly what the
+correctness driver checks at sf=0.01, run here at sf=0.001 for speed.
+"""
+
+import glob
+import os
+
+import duckdb
+import pytest
+
+from tests.conftest import assert_df_equal
+from vector_spark.entry_queries import QUERIES, oracle_sql_for
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# double-valued columns: compared with tight tolerance (the driver hashes
+# exact values; both engines round to 6dp so exact match is expected — the
+# tolerance here only guards pandas dtype conversion noise)
+APPROX = {
+    "agg_modes_hourly": ["agg_sum", "agg_mean", "agg_stdev", "agg_max", "agg_min", "agg_latest"],
+    "agg_diff": ["agg_sum", "agg_diff"],
+    "incremental_to_absolute": ["value_abs"],
+    "metric_to_log": ["metric_value"],
+    "log_to_metric": ["total"],
+    "parse_json": ["duration_ms"],
+}
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(SF_DIR, "*.parquet")):
+        name = os.path.basename(p).replace(".parquet", "")
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+ORACLES = oracle_sql_for("sf0.001")
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, oracle_con):
+    assert name in ORACLES, f"query {name} has no oracle"
+    df = QUERIES[name](spark, SF_DIR)
+    rel = oracle_con.sql(ORACLES[name])
+    assert_df_equal(df, rel, approx_cols=APPROX.get(name, ()), tol=1e-9)
+    assert df.count() > 0, f"{name}: empty result"

@@ -1,0 +1,493 @@
+"""Driver-contract query registry: Spark query builders + DuckDB oracle SQL.
+
+Each entry exercises one operator from SURVEY.md §2. The Spark callable
+takes (spark, sf_dir); the oracle is ANSI SQL DuckDB runs over the same
+inputs (driver-registered views for testdata tables; shared parquet
+fixtures for the transcripts pipeline). Column aliases MATCH between the
+two by construction.
+
+Cross-engine determinism rules used throughout:
+- ties broken by explicit total orders (ts, conv_id, turn_idx) / (ts, event_id)
+- sums of BIGINT cast back to BIGINT in DuckDB (it widens to HUGEINT)
+- double aggregates rounded to 6 dp on both sides (FP addition order)
+- "latest" via row_number over a total order (no composite arg_max in DuckDB)
+- cross-engine consistent hash = multiplicative arithmetic hash (no shared
+  native string-hash exists between the engines); production default is
+  xxhash64 (vector_spark.operators.sample)
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_spark.functions.oracle import ROUTE_SQL, UNMATCHED_SQL, parsed_cte
+from vector_spark.functions.parse import parse_all
+from vector_spark.operators.aggregate import aggregate_metrics
+from vector_spark.operators.cardinality import tag_cardinality_limit
+from vector_spark.operators.dedupe import dedupe
+from vector_spark.operators.enrich import enrich_equals
+from vector_spark.operators.metrics import incremental_to_absolute, log_to_metric_counter, metric_to_log
+from vector_spark.operators.multiline import line_agg
+from vector_spark.operators.reduce import reduce_events, with_condition_sessions, with_count_sessions
+from vector_spark.operators.route import exclusive_route, flagship_conditions
+from vector_spark.operators.sample import sample_by_key
+from vector_spark.operators.throttle import throttle
+from vector_spark.operators.window import window_context
+from vector_spark.plans.pipeline import parsed_enriched, routed, sink_counts
+from vector_spark.session import apply_runtime_confs
+from vector_spark.sources.enrichment import ensure_role_meta, ensure_tool_meta
+from vector_spark.sources.transcripts import ensure_transcripts
+
+
+def _label(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/")) if os.sep in sf_dir else sf_dir
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return spark.read.parquet(ensure_transcripts(_label(sf_dir)))
+
+
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parse_all(_transcripts(spark, sf_dir))
+
+
+# the shared cross-engine consistent hash for the sample query
+_SAMPLE_HASH_SQL = "((CAST(substring(conv_id, 6) AS BIGINT) * 2654435761) % 4294967296)"
+
+_ERRORS_COND_SQL = "coalesce(level = 'error' OR message LIKE 'error:%', false)"
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+def q_sink_counts(spark, sf_dir):
+    return sink_counts(spark, _label(sf_dir))
+
+
+def q_routed_rows(spark, sf_dir):
+    return routed(spark, _label(sf_dir)).select("route", "conv_id", "turn_idx", "text")
+
+
+def q_parse_classify(spark, sf_dir):
+    return (_parsed(spark, sf_dir)
+            .groupBy("kind")
+            .agg(F.count("*").alias("n_lines"), F.countDistinct("conv_id").alias("n_convs")))
+
+
+def q_parse_apache(spark, sf_dir):
+    return (_parsed(spark, sf_dir).filter(F.col("kind") == "apache_common")
+            .select("conv_id", "turn_idx", "ip", "http_user", "method", "path",
+                    "proto", "status", "bytes", "log_ts"))
+
+
+def q_parse_syslog(spark, sf_dir):
+    return (_parsed(spark, sf_dir).filter(F.col("kind") == "syslog5424")
+            .select("conv_id", "turn_idx", "pri", "version", "hostname", "appname",
+                    "procid", "msgid", "message"))
+
+
+def q_parse_json(spark, sf_dir):
+    return (_parsed(spark, sf_dir).filter(F.col("kind") == "json")
+            .select("conv_id", "turn_idx", "json_method", "json_path", "json_status",
+                    "duration_ms", "json_user"))
+
+
+def q_parse_logfmt(spark, sf_dir):
+    return (_parsed(spark, sf_dir).filter(F.col("kind") == "logfmt")
+            .select("conv_id", "turn_idx", "level", "code", "msg", "attempt"))
+
+
+def q_route_exclusive(spark, sf_dir):
+    df = exclusive_route(_parsed(spark, sf_dir), flagship_conditions())
+    return df.select("conv_id", "turn_idx", "route")
+
+
+def q_enrich_tool(spark, sf_dir):
+    df = _parsed(spark, sf_dir).filter(F.col("tool").isNotNull())
+    tm = spark.read.parquet(ensure_tool_meta())
+    return (enrich_equals(df, tm, on="tool", case_sensitive=True)
+            .select("conv_id", "turn_idx", "tool", "owner_team", "risk_level", "max_runtime_s"))
+
+
+def q_enrich_tool_ci(spark, sf_dir):
+    df = _parsed(spark, sf_dir).filter(F.col("tool").isNotNull())
+    tm = spark.read.parquet(ensure_tool_meta())
+    return (enrich_equals(df, tm, on="tool", case_sensitive=False)
+            .groupBy("owner_team").agg(F.count("*").alias("n")))
+
+
+def q_enrich_role(spark, sf_dir):
+    return (parsed_enriched(spark, _label(sf_dir))
+            .groupBy("role", "policy").agg(F.count("*").alias("n")))
+
+
+def q_dedupe(spark, sf_dir):
+    df = dedupe(_transcripts(spark, sf_dir), match=["role", "tool"],
+                order_by=["ts", "conv_id", "turn_idx"])
+    return df.select("conv_id", "turn_idx", "role", "tool")
+
+
+def q_reduce_conversations(spark, sf_dir):
+    df = reduce_events(
+        _parsed(spark, sf_dir), group_by=["conv_id"],
+        strategies={"text": "discard", "role": "retain", "bytes": "sum", "status_any": "max"},
+        order_col="turn_idx",
+    )
+    return df.select(
+        "conv_id",
+        F.col("text").alias("text_first"),
+        F.col("role").alias("role_last"),
+        F.col("bytes_sum"),
+        F.col("status_any_max").alias("status_max"),
+        "ts", "ts_end", "n_merged",
+    )
+
+
+def q_reduce_count_sessions(spark, sf_dir):
+    df = with_count_sessions(_transcripts(spark, sf_dir), ["conv_id"], "turn_idx", max_events=5)
+    return (df.groupBy("conv_id", "session_id")
+            .agg(F.count("*").alias("n"),
+                 F.min("turn_idx").alias("first_turn"),
+                 F.max("turn_idx").alias("last_turn")))
+
+
+def q_reduce_ends_when(spark, sf_dir):
+    p = _parsed(spark, sf_dir)
+    ends = (F.col("level") == "error") | F.coalesce(F.col("message"), F.lit("")).startswith("error:")
+    df = with_condition_sessions(p, ["conv_id"], "turn_idx", ends_when=ends)
+    return df.groupBy("conv_id", "session_id").agg(F.count("*").alias("n"))
+
+
+def q_sample(spark, sf_dir):
+    h = F.expr(f"pmod(CAST(substring(conv_id, 6) AS BIGINT) * 2654435761, 4294967296)")
+    df = sample_by_key(_transcripts(spark, sf_dir), key="conv_id", rate=10, hash_expr=h)
+    return df.select("conv_id", "turn_idx", "sample_rate")
+
+
+def q_throttle(spark, sf_dir):
+    df = throttle(_transcripts(spark, sf_dir), key="role", ts_col="ts",
+                  window_secs=60, threshold=3, order_by=["ts", "conv_id", "turn_idx"])
+    return df.select("conv_id", "turn_idx", "role")
+
+
+def q_window_context(spark, sf_dir):
+    p = _parsed(spark, sf_dir)
+    flush = (F.col("level") == "error") | F.coalesce(F.col("message"), F.lit("")).startswith("error:")
+    df = window_context(p, ["conv_id"], "turn_idx", flush, num_events_before=2, num_events_after=1)
+    return df.select("conv_id", "turn_idx", "window_flush")
+
+
+def q_multiline(spark, sf_dir):
+    p = _parsed(spark, sf_dir)
+    df = line_agg(p, ["conv_id"], "turn_idx", "text", is_start=F.col("kind") != "freeform")
+    return df.select("conv_id", "msg_id", "message", "first_turn_idx", "last_turn_idx", "n_lines")
+
+
+def q_log_to_metric(spark, sf_dir):
+    p = _parsed(spark, sf_dir)
+    m = log_to_metric_counter(
+        p, name=F.concat(F.lit("turns_"), F.col("kind")),
+        tags={"status_class": F.floor(F.col("status_any") / 100).cast("int")},
+    )
+    return (m.groupBy("name", "tag_status_class")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total")))
+
+
+def q_metric_to_log(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("name"), F.col("value"), F.col("ts"))
+    return metric_to_log(ev)
+
+
+def q_agg_modes(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    agg = aggregate_metrics(
+        ev, series_cols=["event_type"], value_col="value", ts_col="ts",
+        interval_secs=3600, modes=["sum", "count", "max", "min", "mean", "stdev"],
+    )
+    # latest via explicit total order (cross-engine deterministic)
+    win = (F.floor(F.unix_timestamp(F.col("ts")) / 3600) * 3600).alias("window_start")
+    w = Window.partitionBy("window_start", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (ev.select(win, "event_type", "ts", "event_id", "value")
+              .withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1)
+              .select("window_start", "event_type", F.col("value").alias("agg_latest")))
+    out = agg.join(latest, on=["window_start", "event_type"], how="inner")
+    return out.select(
+        "window_start", "event_type",
+        F.round("agg_sum", 6).alias("agg_sum"), "agg_count", "agg_max", "agg_min",
+        F.round("agg_mean", 6).alias("agg_mean"), F.round("agg_stdev", 6).alias("agg_stdev"),
+        "agg_latest",
+    )
+
+
+def q_agg_diff(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    agg = aggregate_metrics(
+        ev, series_cols=["event_type"], value_col="value", ts_col="ts",
+        interval_secs=3600, modes=["sum", "diff"],
+    )
+    return agg.select("window_start", "event_type",
+                      F.round("agg_sum", 6).alias("agg_sum"),
+                      F.round("agg_diff", 6).alias("agg_diff"))
+
+
+def q_inc_to_abs(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    df = incremental_to_absolute(ev, ["event_type"], "value", ["ts", "event_id"])
+    return df.select("event_id", "event_type", F.round("value_abs", 6).alias("value_abs"))
+
+
+def q_cardinality(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    kept = tag_cardinality_limit(ev, ["event_type"], "user_id", ["ts", "event_id"],
+                                 value_limit=5, action="drop_event")
+    return kept.groupBy("event_type", "user_id").agg(F.count("*").alias("n_kept"))
+
+
+def q_json_props(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.select("event_id", F.from_json("props", "k int")["k"].alias("props_k"))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pipeline_sink_counts": q_sink_counts,
+    "pipeline_routed_rows": q_routed_rows,
+    "parse_classify": q_parse_classify,
+    "parse_apache": q_parse_apache,
+    "parse_syslog": q_parse_syslog,
+    "parse_json": q_parse_json,
+    "parse_logfmt": q_parse_logfmt,
+    "route_exclusive": q_route_exclusive,
+    "enrich_tool": q_enrich_tool,
+    "enrich_tool_ci": q_enrich_tool_ci,
+    "enrich_role": q_enrich_role,
+    "dedupe_first_seen": q_dedupe,
+    "reduce_conversations": q_reduce_conversations,
+    "reduce_count_sessions": q_reduce_count_sessions,
+    "reduce_ends_when": q_reduce_ends_when,
+    "sample_consistent": q_sample,
+    "throttle_rate_limit": q_throttle,
+    "window_context_grab": q_window_context,
+    "multiline_stitch": q_multiline,
+    "log_to_metric": q_log_to_metric,
+    "metric_to_log": q_metric_to_log,
+    "agg_modes_hourly": q_agg_modes,
+    "agg_diff": q_agg_diff,
+    "incremental_to_absolute": q_inc_to_abs,
+    "tag_cardinality_limit": q_cardinality,
+    "parse_json_props": q_json_props,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (same semantics, same aliases)
+# ---------------------------------------------------------------------------
+
+def oracle_sql_for(sf: str) -> dict[str, str]:
+    tp = ensure_transcripts(sf)
+    tm = ensure_tool_meta()
+    rm = ensure_role_meta()
+    P = parsed_cte(tp)
+    enriched = f"""enriched AS (
+      SELECT p.*, tm.owner_team, tm.risk_level, tm.max_runtime_s, rm.policy
+      FROM parsed p
+      LEFT JOIN read_parquet('{tm}') tm ON p.tool = tm.tool
+      LEFT JOIN read_parquet('{rm}') rm
+        ON p.role = rm.role AND p.ts >= rm.valid_from AND p.ts < rm.valid_to
+    )"""
+    route_branches = " UNION ALL ".join(
+        [f"SELECT '{n}' AS route, * FROM enriched WHERE coalesce({c}, false)" for n, c in ROUTE_SQL.items()]
+        + [f"SELECT '_unmatched' AS route, * FROM enriched WHERE {UNMATCHED_SQL}"]
+    )
+    routes = f"routes AS ({route_branches})"
+
+    o: dict[str, str] = {}
+
+    o["pipeline_sink_counts"] = f"""WITH {P}, {enriched}, {routes}
+      SELECT route, count(*) AS n_events, count(DISTINCT conv_id) AS n_convs,
+             CAST(sum(bytes) AS BIGINT) AS sum_bytes,
+             CAST(sum(CAST(status_any AS BIGINT)) AS BIGINT) AS sum_status
+      FROM routes GROUP BY route"""
+
+    o["pipeline_routed_rows"] = f"""WITH {P}, {enriched}, {routes}
+      SELECT route, conv_id, turn_idx, text FROM routes"""
+
+    o["parse_classify"] = f"""WITH {P}
+      SELECT kind, count(*) AS n_lines, count(DISTINCT conv_id) AS n_convs
+      FROM parsed GROUP BY kind"""
+
+    o["parse_apache"] = f"""WITH {P}
+      SELECT conv_id, turn_idx, ip, http_user, method, path, proto, status, bytes, log_ts
+      FROM parsed WHERE kind = 'apache_common'"""
+
+    o["parse_syslog"] = f"""WITH {P}
+      SELECT conv_id, turn_idx, pri, version, hostname, appname, procid, msgid, message
+      FROM parsed WHERE kind = 'syslog5424'"""
+
+    o["parse_json"] = f"""WITH {P}
+      SELECT conv_id, turn_idx, json_method, json_path, json_status, duration_ms, json_user
+      FROM parsed WHERE kind = 'json'"""
+
+    o["parse_logfmt"] = f"""WITH {P}
+      SELECT conv_id, turn_idx, level, code, msg, attempt
+      FROM parsed WHERE kind = 'logfmt'"""
+
+    o["route_exclusive"] = f"""WITH {P}
+      SELECT conv_id, turn_idx,
+        CASE WHEN coalesce({ROUTE_SQL['errors']}, false) THEN 'errors'
+             WHEN coalesce({ROUTE_SQL['tool_calls']}, false) THEN 'tool_calls'
+             WHEN coalesce({ROUTE_SQL['http']}, false) THEN 'http'
+             ELSE '_unmatched' END AS route
+      FROM parsed"""
+
+    o["enrich_tool"] = f"""WITH {P}
+      SELECT conv_id, turn_idx, p.tool, tm.owner_team, tm.risk_level, tm.max_runtime_s
+      FROM parsed p LEFT JOIN read_parquet('{tm}') tm ON p.tool = tm.tool
+      WHERE p.tool IS NOT NULL"""
+
+    o["enrich_tool_ci"] = f"""WITH {P}
+      SELECT tm.owner_team, count(*) AS n
+      FROM parsed p LEFT JOIN read_parquet('{tm}') tm ON lower(p.tool) = lower(tm.tool)
+      WHERE p.tool IS NOT NULL GROUP BY tm.owner_team"""
+
+    o["enrich_role"] = f"""WITH {P}, {enriched}
+      SELECT role, policy, count(*) AS n FROM enriched GROUP BY role, policy"""
+
+    o["dedupe_first_seen"] = f"""WITH {P},
+      r AS (SELECT conv_id, turn_idx, role, tool,
+                   row_number() OVER (PARTITION BY role, tool ORDER BY ts, conv_id, turn_idx) AS rn
+            FROM parsed)
+      SELECT conv_id, turn_idx, role, tool FROM r WHERE rn = 1"""
+
+    o["reduce_conversations"] = f"""WITH {P}
+      SELECT conv_id,
+             arg_min(text, turn_idx) AS text_first,
+             arg_max(role, turn_idx) AS role_last,
+             CAST(sum(bytes) AS BIGINT) AS bytes_sum,
+             max(status_any) AS status_max,
+             min(ts) AS ts, max(ts) AS ts_end,
+             count(*) AS n_merged
+      FROM parsed GROUP BY conv_id"""
+
+    o["reduce_count_sessions"] = f"""WITH t AS (SELECT * FROM read_parquet('{tp}')),
+      s AS (SELECT conv_id, turn_idx,
+                   CAST(floor((row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1) / 5) AS BIGINT) AS session_id
+            FROM t)
+      SELECT conv_id, session_id, count(*) AS n,
+             min(turn_idx) AS first_turn, max(turn_idx) AS last_turn
+      FROM s GROUP BY conv_id, session_id"""
+
+    o["reduce_ends_when"] = f"""WITH {P},
+      m AS (SELECT conv_id, turn_idx,
+                   CASE WHEN {_ERRORS_COND_SQL} THEN 1 ELSE 0 END AS marker
+            FROM parsed),
+      s AS (SELECT conv_id, turn_idx,
+                   CAST(coalesce(sum(marker) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS session_id
+            FROM m)
+      SELECT conv_id, session_id, count(*) AS n FROM s GROUP BY conv_id, session_id"""
+
+    o["sample_consistent"] = f"""SELECT conv_id, turn_idx, 10 AS sample_rate
+      FROM read_parquet('{tp}')
+      WHERE {_SAMPLE_HASH_SQL} % 10 = 0"""
+
+    o["throttle_rate_limit"] = f"""WITH t AS (SELECT * FROM read_parquet('{tp}')),
+      r AS (SELECT conv_id, turn_idx, role,
+                   row_number() OVER (PARTITION BY role, CAST(floor(epoch(ts) / 60) AS BIGINT)
+                                      ORDER BY ts, conv_id, turn_idx) AS rn
+            FROM t)
+      SELECT conv_id, turn_idx, role FROM r WHERE rn <= 3"""
+
+    o["window_context_grab"] = f"""WITH {P},
+      m AS (SELECT conv_id, turn_idx,
+                   CASE WHEN {_ERRORS_COND_SQL} THEN 1 ELSE 0 END AS marker
+            FROM parsed),
+      k AS (SELECT conv_id, turn_idx, marker,
+                   max(marker) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS keep
+            FROM m)
+      SELECT conv_id, turn_idx, marker = 1 AS window_flush FROM k WHERE keep = 1"""
+
+    o["multiline_stitch"] = f"""WITH {P},
+      m AS (SELECT conv_id, turn_idx, text,
+                   CASE WHEN kind <> 'freeform' THEN 1 ELSE 0 END AS marker
+            FROM parsed),
+      s AS (SELECT conv_id, turn_idx, text,
+                   CAST(sum(marker) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS msg_id
+            FROM m)
+      SELECT conv_id, msg_id, string_agg(text, chr(10) ORDER BY turn_idx) AS message,
+             min(turn_idx) AS first_turn_idx, max(turn_idx) AS last_turn_idx,
+             count(*) AS n_lines
+      FROM s GROUP BY conv_id, msg_id"""
+
+    o["log_to_metric"] = f"""WITH {P}
+      SELECT 'turns_' || kind AS name,
+             CAST(floor(status_any / 100) AS INTEGER) AS tag_status_class,
+             count(*) AS n, CAST(count(*) AS DOUBLE) AS total
+      FROM parsed GROUP BY 1, 2"""
+
+    o["metric_to_log"] = """SELECT 'metric ' || event_type || ' ' || CAST(value AS VARCHAR) AS message,
+             ts, event_type AS metric_name, value AS metric_value
+      FROM events"""
+
+    o["agg_modes_hourly"] = """WITH base AS (
+        SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+               event_type, ts, event_id, value
+        FROM events),
+      agg AS (SELECT window_start, event_type,
+                     round(sum(value), 6) AS agg_sum, count(value) AS agg_count,
+                     max(value) AS agg_max, min(value) AS agg_min,
+                     round(avg(value), 6) AS agg_mean, round(stddev_pop(value), 6) AS agg_stdev
+              FROM base GROUP BY window_start, event_type),
+      l AS (SELECT window_start, event_type, value AS agg_latest,
+                   row_number() OVER (PARTITION BY window_start, event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM base)
+      SELECT a.window_start, a.event_type, a.agg_sum, a.agg_count, a.agg_max,
+             a.agg_min, a.agg_mean, a.agg_stdev, l.agg_latest
+      FROM agg a JOIN l ON a.window_start = l.window_start
+                       AND a.event_type = l.event_type AND l.rn = 1"""
+
+    o["agg_diff"] = """WITH base AS (
+        SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+               event_type, value FROM events),
+      agg AS (SELECT window_start, event_type, sum(value) AS s
+              FROM base GROUP BY window_start, event_type)
+      SELECT window_start, event_type, round(s, 6) AS agg_sum,
+             round(s - coalesce(lag(s) OVER (PARTITION BY event_type ORDER BY window_start), 0.0), 6) AS agg_diff
+      FROM agg"""
+
+    o["incremental_to_absolute"] = """SELECT event_id, event_type,
+             round(sum(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_abs
+      FROM events"""
+
+    o["tag_cardinality_limit"] = """WITH fs AS (
+        SELECT event_type, user_id, min(ts) AS o0, min(event_id) AS o1
+        FROM events GROUP BY event_type, user_id),
+      allowed AS (SELECT event_type, user_id,
+                         row_number() OVER (PARTITION BY event_type ORDER BY o0, o1, user_id) AS rnk
+                  FROM fs)
+      SELECT e.event_type, e.user_id, count(*) AS n_kept
+      FROM events e JOIN allowed a
+        ON e.event_type = a.event_type AND e.user_id = a.user_id AND a.rnk <= 5
+      GROUP BY e.event_type, e.user_id"""
+
+    o["parse_json_props"] = """SELECT event_id,
+             CAST(json_extract(props, '$.k') AS INTEGER) AS props_k
+      FROM events"""
+
+    return o

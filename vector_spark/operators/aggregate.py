@@ -1,0 +1,78 @@
+"""Aggregate transform — metric windowed aggregation
+(reference: src/transforms/aggregate.rs:26-356).
+
+Tumbling window grouped by metric series (name + namespace + tags).
+Reference windows are processing-time ticks; we use event-time tumbling
+windows on ``ts`` (deliberate upgrade documented in SURVEY.md §2.10).
+
+Modes (aggregate.rs:47-75): Auto (sum incremental / latest absolute),
+Sum, Latest, Count, Diff (vs previous window), Max, Min, Mean, Stdev
+(population, :294-313). All map to built-in hash aggregates (partial +
+final for free); Latest = max_by on a deterministic order key; Diff =
+windowed agg then lag over the series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _window_start(ts_col: str, interval_secs: int) -> Column:
+    # arithmetic tumbling-window start as epoch seconds: cheap, groupable,
+    # cross-engine deterministic (no struct window() needed for batch)
+    return (F.floor(F.unix_timestamp(F.col(ts_col)) / interval_secs) * interval_secs).alias("window_start")
+
+
+def aggregate_metrics(
+    df: DataFrame,
+    series_cols: list[str],
+    value_col: str,
+    ts_col: str,
+    interval_secs: int,
+    modes: list[str],
+    order_col: str | None = None,
+    kind_col: str | None = None,
+) -> DataFrame:
+    """One row per (series, tumbling window) with a column per mode."""
+    v = F.col(value_col)
+    order = F.struct(F.col(ts_col), *( [F.col(order_col)] if order_col else [] ))
+    aggs: list[Column] = []
+    for m in modes:
+        if m == "sum":
+            aggs.append(F.sum(v).alias("agg_sum"))
+        elif m == "count":
+            aggs.append(F.count(v).alias("agg_count"))
+        elif m == "max":
+            aggs.append(F.max(v).alias("agg_max"))
+        elif m == "min":
+            aggs.append(F.min(v).alias("agg_min"))
+        elif m == "mean":
+            aggs.append(F.avg(v).alias("agg_mean"))
+        elif m == "stdev":
+            aggs.append(F.stddev_pop(v).alias("agg_stdev"))
+        elif m == "latest":
+            aggs.append(F.max_by(v, order).alias("agg_latest"))
+        elif m == "auto":
+            if not kind_col:
+                raise ValueError("auto mode needs kind_col (incremental|absolute)")
+            aggs.append(
+                F.when(F.first(F.col(kind_col) == "incremental", ignorenulls=True), F.sum(v))
+                .otherwise(F.max_by(v, order)).alias("agg_auto")
+            )
+        elif m == "diff":
+            pass  # post-pass below
+        else:
+            raise ValueError(f"unknown aggregate mode {m!r}")
+    out = (
+        df.groupBy(_window_start(ts_col, interval_secs), *series_cols)
+        .agg(*aggs)
+    )
+    if "diff" in modes:
+        if "sum" not in modes:
+            raise ValueError("diff mode requires sum")
+        w = Window.partitionBy(*series_cols).orderBy("window_start")
+        out = out.withColumn(
+            "agg_diff", F.col("agg_sum") - F.lag("agg_sum", 1, 0.0).over(w)
+        )
+    return out

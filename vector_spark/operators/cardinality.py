@@ -1,0 +1,42 @@
+"""tag_cardinality_limit (reference: src/transforms/tag_cardinality_limit/mod.rs:26-118).
+
+Cap the number of distinct values per tag key; on exceed either drop the
+tag (null it) or drop the event. The reference accepts the first
+``value_limit`` values seen (exact HashSet mode).
+
+Batch mapping: first-seen rank per (tag_key scope, value) = dense rank of
+(min event order) — two hash aggregations + a broadcast-able join back,
+no per-row state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tag_cardinality_limit(
+    df: DataFrame, scope_cols: list[str], tag_col: str, order_by: list[str],
+    value_limit: int, action: str = "drop_tag",
+) -> DataFrame:
+    first_seen = (
+        df.groupBy(*scope_cols, tag_col)
+        .agg(*[F.min(c).alias(f"__o{i}") for i, c in enumerate(order_by)])
+    )
+    w = Window.partitionBy(*scope_cols).orderBy(
+        *[F.col(f"__o{i}") for i in range(len(order_by))], F.col(tag_col)
+    )
+    allowed = (
+        first_seen.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= value_limit)
+        .select(*scope_cols, tag_col)
+        .withColumn("__allowed", F.lit(True))
+    )
+    joined = df.join(F.broadcast(allowed), on=[*scope_cols, tag_col], how="left")
+    if action == "drop_event":
+        return joined.filter(F.col("__allowed").isNotNull()).drop("__allowed")
+    if action == "drop_tag":
+        return joined.withColumn(
+            tag_col, F.when(F.col("__allowed").isNotNull(), F.col(tag_col))
+        ).drop("__allowed")
+    raise ValueError(f"unknown action {action!r}")

@@ -1,0 +1,36 @@
+"""Dedupe transform (reference: src/transforms/dedupe/).
+
+Reference semantics: drop events whose key — the values of the ``match``
+fields (or all-but-``ignore`` fields), type-tagged — was already seen in
+an LRU cache of ``cache.num_events`` (config.rs:24-36, transform.rs:47-85).
+
+Batch mapping: "first occurrence per key wins" in the stable event-time
+order ``(ts, conv_id, turn_idx)`` — a window row_number, shuffle-partitioned
+by the key (scales: one shuffle, no global sort). The LRU *eviction*
+order-dependence of the reference is a documented delta (SURVEY.md §7):
+batch dedupe is exact-first-seen, equivalent to an unbounded cache.
+
+Streaming mapping: ``dropDuplicatesWithinWatermark`` (see streaming/jobs.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedupe(df: DataFrame, match: list[str], order_by: list[str]) -> DataFrame:
+    """Keep the first event per key under a deterministic total order."""
+    w = Window.partitionBy(*match).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedupe_exact(df: DataFrame, match: list[str]) -> DataFrame:
+    """Order-free exact dedupe (keeps an arbitrary representative) — the
+    cheap path when any representative is acceptable: map-side combine via
+    groupBy, no window sort."""
+    return df.dropDuplicates(match)

@@ -1,0 +1,53 @@
+"""Metric <-> log bridges and running-sum conversion.
+
+- log_to_metric (reference src/transforms/log_to_metric.rs:41-174):
+  derive counter/gauge/set/distribution events from logs via projection;
+  counters then flow into aggregate_metrics.
+- metric_to_log (src/transforms/metric_to_log.rs:30): inverse projection.
+- incremental_to_absolute (src/transforms/incremental_to_absolute.rs:15-39):
+  per-series running cumulative sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def log_to_metric_counter(
+    df: DataFrame, name: Column, tags: dict[str, Column], ts_col: str = "ts",
+    increment_by: Column | None = None,
+) -> DataFrame:
+    """Counter rule: one incremental metric event per matching log."""
+    value = increment_by if increment_by is not None else F.lit(1.0)
+    cols = [
+        name.alias("name"),
+        F.lit("vector").alias("namespace"),
+        F.lit("incremental").alias("kind"),
+        value.cast("double").alias("value"),
+        F.col(ts_col).alias("ts"),
+    ] + [c.alias(f"tag_{k}") for k, c in tags.items()]
+    return df.select(*cols)
+
+
+def metric_to_log(df: DataFrame) -> DataFrame:
+    """Metric event -> structured log projection (column renames +
+    a message synthesized from the series)."""
+    return df.select(
+        F.concat_ws(" ", F.lit("metric"), F.col("name"), F.col("value").cast("string")).alias("message"),
+        F.col("ts"),
+        F.col("name").alias("metric_name"),
+        F.col("value").alias("metric_value"),
+    )
+
+
+def incremental_to_absolute(
+    df: DataFrame, series_cols: list[str], value_col: str, order_by: list[str],
+    out_col: str = "value_abs",
+) -> DataFrame:
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(out_col, F.sum(F.col(value_col)).over(w))

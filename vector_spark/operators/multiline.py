@@ -1,0 +1,39 @@
+"""Multiline / line aggregation (reference: src/line_agg.rs:24-66).
+
+Reference modes: ContinueThrough / ContinuePast / HaltBefore / HaltWith —
+a start-pattern + condition-pattern state machine stitching consecutive
+lines into one event.
+
+Batch mapping: group-start detection with a lagged marker + cumulative
+sum per stream (conv), then an ordered string_agg per group. No state,
+two window passes, shuffle only on the group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_spark.operators.reduce import _ordered_list
+
+
+def line_agg(
+    df: DataFrame, group_by: list[str], order_col: str, text_col: str,
+    is_start: Column, joiner: str = "\n",
+) -> DataFrame:
+    """ContinueThrough mode: a line starts a new message iff ``is_start``;
+    non-start lines continue the previous message. Emits one row per
+    stitched message with first/last order bounds."""
+    w = Window.partitionBy(*group_by).orderBy(order_col)
+    marker = F.when(F.coalesce(is_start, F.lit(False)), 1).otherwise(0)
+    msg_id = F.sum(marker).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    out = df.withColumn("__msg", msg_id)
+    return (
+        out.groupBy(*group_by, F.col("__msg").alias("msg_id"))
+        .agg(
+            F.array_join(_ordered_list(F.col(text_col), F.col(order_col)), joiner).alias("message"),
+            F.min(order_col).alias("first_" + order_col),
+            F.max(order_col).alias("last_" + order_col),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

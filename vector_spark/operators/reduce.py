@@ -1,0 +1,109 @@
+"""Reduce transform (reference: src/transforms/reduce/).
+
+Merges many events into one per group. Per-field merge strategies
+(merge_strategy.rs:17-55): discard (first) / retain (last) / sum / max /
+min / array / concat / concat_newline / flat_unique. Defaults: first
+string value, numeric sum, first timestamp plus ``<field>_end`` for the
+last (config.rs:82-88).
+
+Batch mapping: ``groupBy(group_by)`` with an aggregate per strategy.
+"first"/"last" are made deterministic via min_by/max_by on the order key
+(the reference relies on arrival order; we use event order). Ordered
+``array``/``concat`` collect structs keyed by the order column and sort —
+fully JVM-side.
+
+Flush triggers:
+- ``max_events``        -> count-window sessions: floor(seq / max_events)
+- ``ends_when`` cond    -> marker cumsum sessionization (window functions)
+- ``expire_after_ms``   -> event-time gap sessions (streaming: session_window)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ordered_list(value: Column, order: Column) -> Column:
+    pair = F.struct(order.alias("o"), value.alias("v"))
+    return F.transform(F.array_sort(F.collect_list(pair)), lambda s: s["v"])
+
+
+def merge_agg(field: str, strategy: str, order_col: str = "turn_idx") -> Column:
+    """One reference merge strategy -> one Spark aggregate expression."""
+    v, o = F.col(field), F.col(order_col)
+    if strategy == "discard":  # keep first
+        return F.min_by(v, o).alias(field)
+    if strategy == "retain":  # keep last
+        return F.max_by(v, o).alias(field)
+    if strategy == "sum":
+        return F.sum(v).alias(f"{field}_sum")
+    if strategy == "max":
+        return F.max(v).alias(f"{field}_max")
+    if strategy == "min":
+        return F.min(v).alias(f"{field}_min")
+    if strategy == "array":
+        return _ordered_list(v, o).alias(f"{field}_array")
+    if strategy == "concat":
+        return F.array_join(_ordered_list(v, o), " ").alias(f"{field}_concat")
+    if strategy == "concat_newline":
+        return F.array_join(_ordered_list(v, o), "\n").alias(f"{field}_concat")
+    if strategy == "flat_unique":
+        return F.array_distinct(_ordered_list(v, o)).alias(f"{field}_uniq")
+    raise ValueError(f"unknown merge strategy {strategy!r}")
+
+
+def reduce_events(
+    df: DataFrame,
+    group_by: list[str],
+    strategies: dict[str, str],
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Plain reduce: one output event per group (no flush condition).
+
+    Always emits the reference's default timestamp pair: first ts and
+    ``<ts>_end`` = last ts (config.rs:82-88), plus an event count.
+    """
+    aggs = [merge_agg(f, s, order_col) for f, s in strategies.items()]
+    aggs.append(F.min(F.col(ts_col)).alias(ts_col))
+    aggs.append(F.max(F.col(ts_col)).alias(f"{ts_col}_end"))
+    aggs.append(F.count(F.lit(1)).alias("n_merged"))
+    return df.groupBy(*group_by).agg(*aggs)
+
+
+def with_count_sessions(
+    df: DataFrame, group_by: list[str], order_col: str, max_events: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """``max_events`` flush trigger: split each group into consecutive
+    count-windows. Uses a per-group sequence so it is order-deterministic."""
+    w = Window.partitionBy(*group_by).orderBy(order_col)
+    seq = F.row_number().over(w) - 1
+    return df.withColumn(session_col, (seq / max_events).cast("long"))
+
+
+def with_condition_sessions(
+    df: DataFrame, group_by: list[str], order_col: str,
+    starts_when: Column | None = None, ends_when: Column | None = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """``starts_when`` / ``ends_when`` sessionization (mutually exclusive,
+    reference transform.rs:180-182): a running cumsum over ordered marker
+    rows. ``starts_when`` opens a new session at the marker row;
+    ``ends_when`` closes the session at the marker row (next row starts new).
+    """
+    if (starts_when is None) == (ends_when is None):
+        raise ValueError("exactly one of starts_when / ends_when required")
+    w = Window.partitionBy(*group_by).orderBy(order_col)
+    if starts_when is not None:
+        marker = F.when(F.coalesce(starts_when, F.lit(False)), 1).otherwise(0)
+        sid = F.sum(marker).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    else:
+        marker = F.when(F.coalesce(ends_when, F.lit(False)), 1).otherwise(0)
+        # session changes on the row AFTER an end marker
+        sid = F.coalesce(
+            F.sum(marker).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+    return df.withColumn(session_col, sid.cast("long"))

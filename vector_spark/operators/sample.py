@@ -1,0 +1,45 @@
+"""Sample transform (reference: src/transforms/sample/transform.rs:21-92,146-214).
+
+Two reference modes:
+- key-consistent: ``hash(key) % rate == 0`` (seahash) — same key always
+  kept/dropped. Spark: any deterministic 64-bit hash works; default
+  xxhash64 (JVM built-in, order-free, scales with no shuffle).
+- counter mode (1-in-rate per group, arrival order): event-time
+  reinterpretation via row_number over a stable order (documented delta).
+
+Kept events get a ``sample_rate`` field (transform.rs:188-201).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sample_by_key(
+    df: DataFrame, key: str | Column, rate: int,
+    hash_expr: Column | None = None, sample_rate_field: str = "sample_rate",
+) -> DataFrame:
+    """Consistent hash sampling: no shuffle, no state, embarrassingly
+    parallel. ``hash_expr`` overrides the hash (used by the oracle-checked
+    query with a cross-engine arithmetic hash)."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    h = hash_expr if hash_expr is not None else F.xxhash64(key_col)
+    return (
+        df.filter(F.pmod(h, F.lit(rate)) == 0)
+        .withColumn(sample_rate_field, F.lit(rate))
+    )
+
+
+def sample_by_count(
+    df: DataFrame, group_by: list[str], order_by: list[str], rate: int,
+    sample_rate_field: str = "sample_rate",
+) -> DataFrame:
+    """Counter mode: keep every rate-th event per group in stable order."""
+    w = Window.partitionBy(*group_by).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") - 1) % rate == 0)
+        .drop("__rn")
+        .withColumn(sample_rate_field, F.lit(rate))
+    )

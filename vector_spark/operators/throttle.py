@@ -1,0 +1,29 @@
+"""Throttle transform (reference: src/transforms/throttle/transform.rs:22-137).
+
+Reference: GCRA token bucket per key — at most ``threshold`` events per
+``window_secs`` per ``key_field``, excess dropped; ``exclude`` bypasses.
+
+Batch mapping (documented semantic shift wall-clock -> event-time): keep
+the first ``threshold`` events per (key, event-time window) in stable
+order — a row_number over (key, window). One shuffle on (key, window);
+windows computed arithmetically so no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def throttle(
+    df: DataFrame, key: str, ts_col: str, window_secs: int, threshold: int,
+    order_by: list[str] | None = None, exclude: Column | None = None,
+) -> DataFrame:
+    win = F.floor(F.unix_timestamp(F.col(ts_col)) / window_secs)
+    order_by = order_by or [ts_col]
+    w = Window.partitionBy(F.col(key), win).orderBy(*[F.col(c) for c in order_by])
+    out = df.withColumn("__rn", F.row_number().over(w))
+    keep = F.col("__rn") <= threshold
+    if exclude is not None:
+        keep = keep | F.coalesce(exclude, F.lit(False))
+    return out.filter(keep).drop("__rn")

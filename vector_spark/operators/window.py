@@ -1,0 +1,34 @@
+"""Window transform — the ring-buffer "context grabber"
+(reference: src/transforms/window/transform.rs:13-95).
+
+Pass events only near a ``flush_when`` match, keeping ``num_events_before``
+lookback and ``num_events_after`` lookahead (like ``grep -B/-A``).
+
+Batch mapping: per-group ordered frame — an event at position p survives
+iff some flush-marker row lies within [p - after, p + before]; i.e.
+max(marker) over ROWS BETWEEN after PRECEDING AND before FOLLOWING = 1
+(the frame is the reversed neighborhood).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def window_context(
+    df: DataFrame, group_by: list[str], order_col: str, flush_when: Column,
+    num_events_before: int = 2, num_events_after: int = 0,
+    marker_field: str | None = "window_flush",
+) -> DataFrame:
+    w = (
+        Window.partitionBy(*group_by)
+        .orderBy(order_col)
+        .rowsBetween(-num_events_after, num_events_before)
+    )
+    marker = F.when(F.coalesce(flush_when, F.lit(False)), 1).otherwise(0)
+    out = df.withColumn("__m", marker).withColumn("__keep", F.max(F.col("__m")).over(w))
+    out = out.filter(F.col("__keep") == 1)
+    if marker_field:
+        out = out.withColumn(marker_field, F.col("__m") == 1)
+    return out.drop("__m", "__keep")
