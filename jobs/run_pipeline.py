@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the flagship transcripts pipeline.
+
+Usage (cluster):
+    zip -r vector_spark.zip vector_spark
+    spark-submit --py-files vector_spark.zip jobs/run_pipeline.py \
+        --input /data/transcripts --out s3://bucket/out \
+        --buckets 256 --mode batch
+
+Usage (sandbox):
+    python jobs/run_pipeline.py --sf sf0.001 --out /tmp/out --buckets 4
+
+Modes:
+    batch      checkpointed resumable batch run (manifest + lineage)
+    streaming  Structured Streaming foreachBatch fan-out (availableNow)
+
+The job is idempotent: re-running with the same --out resumes from the
+manifest (batch) or the streaming checkpoint. Per-sink counts are
+printed as one JSON line at the end (the per-component counters of the
+reference's component spec, docs/specs/component.md:125,223).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="transcripts parquet path/dir (exact input_hint schema)")
+    ap.add_argument("--sf", help="fixture scale label (sf0.001/sf0.01/sf0.1) instead of --input")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--buckets", type=int, default=8)
+    ap.add_argument("--mode", choices=["batch", "streaming"], default="batch")
+    ap.add_argument("--master", default=None, help="only for local runs; omit under spark-submit")
+    args = ap.parse_args()
+
+    from vector_spark.session import apply_runtime_confs, get_spark
+    from vector_spark.functions.parse import parse_all
+    from vector_spark.operators.enrich import enrich_equals, enrich_range
+    from vector_spark.operators.route import flagship_conditions, route_exploded
+    from vector_spark.plans.checkpoint import manifest_totals, run_checkpointed
+    from vector_spark.sources.enrichment import ensure_role_meta, ensure_tool_meta
+    from vector_spark.sources.transcripts import ensure_transcripts
+
+    spark = get_spark("vector-spark-pipeline", master=args.master)
+    apply_runtime_confs(spark)
+
+    if args.mode == "streaming":
+        from vector_spark.streaming.stream_pipeline import run_streaming_fanout
+
+        src = args.input or os.path.dirname(ensure_transcripts(args.sf))
+        run_streaming_fanout(spark, src, args.out,
+                             os.path.join(args.out, "_checkpoint"), available_now=True)
+        from pyspark.sql import functions as F
+        counts = {r.route: r.n for r in
+                  spark.read.parquet(os.path.join(args.out, "metrics"))
+                  .groupBy("route").agg(F.sum("n").alias("n")).collect()}
+        print(json.dumps({"mode": "streaming", "sink_counts": counts}))
+        return
+
+    src = args.input or ensure_transcripts(args.sf)
+    df = spark.read.parquet(src)
+    routed = route_exploded(
+        enrich_range(
+            enrich_equals(parse_all(df), spark.read.parquet(ensure_tool_meta()),
+                          on="tool", case_sensitive=True),
+            spark.read.parquet(ensure_role_meta()), on="role", ts_col="ts"),
+        flagship_conditions())
+    manifest = run_checkpointed(routed, args.out, n_buckets=args.buckets,
+                                input_fingerprint=src)
+    print(json.dumps({"mode": "batch", "sink_counts": manifest_totals(manifest),
+                      "buckets": len(manifest["buckets"])}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Resume/skew/streaming behavior tests.
+
+- checkpoint manifest: interrupted run resumes without recomputing done
+  buckets; totals equal the uninterrupted run (north rule: identical
+  per-sink aggregate counts, resumable with per-partition lineage).
+- salted_agg: two-stage salted aggregation == plain groupBy results.
+- streaming fan-out: availableNow drain produces the exact batch-mode
+  per-sink counts; windowed event-time agg matches a batch groupBy.
+"""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vector_spark.operators.salt import hot_keys, salted_agg  # noqa: E402
+from vector_spark.plans.checkpoint import (  # noqa: E402
+    load_manifest,
+    manifest_totals,
+    run_checkpointed,
+)
+from vector_spark.plans.pipeline import routed, sink_counts  # noqa: E402
+from vector_spark.sources.transcripts import ensure_transcripts  # noqa: E402
+
+SF = "sf0.001"
+
+
+@pytest.fixture(scope="module")
+def routed_df(spark):
+    return routed(spark, SF)
+
+
+def test_checkpoint_resume_skips_done_buckets(spark, routed_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ckpt"))
+    fp = "fixture-sf0.001-v1"
+
+    # interrupted run: raise after 2 buckets
+    class Stop(Exception):
+        pass
+
+    seen = []
+
+    def maybe_stop(i, entry):
+        seen.append(i)
+        if len(seen) == 2:
+            raise Stop()
+
+    with pytest.raises(Stop):
+        run_checkpointed(routed_df, out, n_buckets=4, input_fingerprint=fp,
+                         on_bucket_done=maybe_stop)
+    m = load_manifest(out)
+    assert len(m["buckets"]) == 2
+
+    # resume: only the remaining 2 buckets run
+    resumed = []
+    m2 = run_checkpointed(routed_df, out, n_buckets=4, input_fingerprint=fp,
+                          on_bucket_done=lambda i, e: resumed.append(i))
+    assert len(resumed) == 2
+    assert set(m2["buckets"]) == {"0", "1", "2", "3"}
+
+    # identical per-sink totals vs the one-shot reference counts
+    expect = {r["route"]: r["n_events"] for r in sink_counts(spark, SF).collect()}
+    assert manifest_totals(m2) == expect
+
+    # idempotent: a third run does nothing
+    again = []
+    run_checkpointed(routed_df, out, n_buckets=4, input_fingerprint=fp,
+                     on_bucket_done=lambda i, e: again.append(i))
+    assert again == []
+
+
+def test_checkpoint_fingerprint_change_restarts(routed_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ckpt_fp"))
+    run_checkpointed(routed_df, out, n_buckets=2, input_fingerprint="v1")
+    ran = []
+    run_checkpointed(routed_df, out, n_buckets=2, input_fingerprint="v2",
+                     on_bucket_done=lambda i, e: ran.append(i))
+    assert ran == [0, 1]  # full re-run on changed input
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    df = spark.read.parquet(ensure_transcripts(SF))
+    plain = {r.conv_id: (r.n, r.min_turn, r.max_turn) for r in
+             df.groupBy("conv_id").agg(F.count("*").alias("n"),
+                                       F.min("turn_idx").alias("min_turn"),
+                                       F.max("turn_idx").alias("max_turn")).collect()}
+    salted = {r.conv_id: (r.n, r.min_turn, r.max_turn) for r in
+              salted_agg(df, "conv_id",
+                         {"n": ("count", ""), "min_turn": ("min", "turn_idx"),
+                          "max_turn": ("max", "turn_idx")},
+                         salt_factor=8, salt_on=F.col("turn_idx")).collect()}
+    assert salted == plain
+
+
+def test_hot_keys_finds_the_planted_hot_conversation(spark):
+    df = spark.read.parquet(ensure_transcripts(SF))
+    hot = hot_keys(df, "conv_id", min_share=0.04)
+    assert "conv-00000000" in hot  # fixture gives conv 0 ~5% of turns
+    assert len(hot) < 5
+
+
+def test_streaming_fanout_matches_batch_counts(spark, tmp_path_factory):
+    from vector_spark.streaming.stream_pipeline import run_streaming_fanout
+
+    src = ensure_transcripts(SF)
+    # file-stream source needs a directory
+    src_dir = str(tmp_path_factory.mktemp("stream_src"))
+    os.link(src, os.path.join(src_dir, "part-0.parquet"))
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+
+    run_streaming_fanout(spark, src_dir, out, ckpt, available_now=True)
+
+    got = {r.route: r.n for r in
+           spark.read.parquet(os.path.join(out, "metrics"))
+           .groupBy("route").agg(F.sum("n").alias("n")).collect()}
+    expect = {r["route"]: r["n_events"] for r in sink_counts(spark, SF).collect()}
+    assert got == expect
+
+    sunk = spark.read.parquet(os.path.join(out, "sinks"))
+    assert {r.route for r in sunk.select("route").distinct().collect()} == set(expect)
+
+    # restart with same checkpoint: no new epochs, counts unchanged (resume idempotent)
+    run_streaming_fanout(spark, src_dir, out, ckpt, available_now=True)
+    got2 = {r.route: r.n for r in
+            spark.read.parquet(os.path.join(out, "metrics"))
+            .groupBy("route").agg(F.sum("n").alias("n")).collect()}
+    assert got2 == expect
+
+
+def test_streaming_windowed_counts_matches_batch(spark, tmp_path_factory):
+    from vector_spark.streaming.stream_pipeline import streaming_windowed_counts
+
+    src = ensure_transcripts(SF)
+    src_dir = str(tmp_path_factory.mktemp("streamw_src"))
+    os.link(src, os.path.join(src_dir, "part-0.parquet"))
+
+    plan = streaming_windowed_counts(spark, src_dir, window_secs=3600)
+    q = (plan.writeStream.format("memory").queryName("wincounts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(r.window_start, r.route): r.n_events
+           for r in spark.sql("SELECT * FROM wincounts").collect()}
+    batch = routed(spark, SF)
+    expect = {(r.window_start, r.route): r.n_events for r in
+              batch.groupBy(F.window("ts", "3600 seconds").alias("win"), "route")
+              .agg(F.count("*").alias("n_events"))
+              .select(F.col("win.start").alias("window_start"), "route", "n_events")
+              .collect()}
+    assert got == expect

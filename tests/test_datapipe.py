@@ -1,0 +1,114 @@
+"""Unit tests for the training-data pipeline operators (datapipe).
+
+The cross-engine oracle equality is covered by test_entry_contract; these
+tests pin down operator-level semantics: planted near-dups are found,
+ANN excludes self, the media decode stub fails fast without a decoder,
+and the mapInPandas features agree with the JVM-side byte features.
+"""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vector_spark.datapipe.dedup import (  # noqa: E402
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from vector_spark.datapipe.multimodal import (  # noqa: E402
+    decode_media,
+    fake_decoder,
+    media_byte_features,
+    with_media,
+)
+from vector_spark.datapipe.similarity import brute_force_topk  # noqa: E402
+from vector_spark.datapipe.text_stats import with_fingerprint, with_lang_id  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def planted(spark, docs):
+    """Docs plus exact copies of the first 5 (ids +900000): known dup pairs."""
+    dup = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text")
+    return docs.unionByName(dup)
+
+
+def test_exact_dedup_finds_planted(planted):
+    rows = exact_dedup(planted).where(F.col("n_dupes") > 1).collect()
+    assert len(rows) == 5
+    assert all(r.keep_id < 5 for r in rows)
+
+
+def test_minhash_finds_exact_dups(planted):
+    pairs = {(r.id1, r.id2) for r in minhash_lsh_pairs(planted, min_jaccard=0.99).collect()}
+    for i in range(5):
+        assert (i, i + 900000) in pairs
+
+
+def test_ngram_jaccard_exact_dups_have_j1(planted):
+    rows = ngram_jaccard_pairs(planted, min_jaccard=0.999).collect()
+    assert {(r.id1, r.id2) for r in rows} >= {(i, i + 900000) for i in range(5)}
+    assert all(r.jaccard == 1.0 for r in rows if r.id2 >= 900000)
+
+
+def test_simhash_exact_dups_have_hamming0(planted):
+    rows = simhash_pairs(planted, max_hamming=0).collect()
+    assert {(r.id1, r.id2) for r in rows} >= {(i, i + 900000) for i in range(5)}
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "c b a"), (3, "a b c")],
+                               ["doc_id", "text"])
+    fps = {r.doc_id: r.fingerprint for r in with_fingerprint(df).collect()}
+    assert fps[1] == fps[3]
+    assert fps[1] != fps[2]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is on the mat"), (2, "der hund und die katze ist"),
+         (3, "zzz qqq xxx")], ["doc_id", "text"])
+    out = {r.doc_id: r.lang_pred for r in with_lang_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"
+
+
+def test_ann_excludes_self_and_ranks(spark):
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    q = e.where(F.col("vec_id") == 0)
+    out = brute_force_topk(e, q, k=3).collect()
+    assert len(out) == 3
+    assert all(r.vec_id != 0 for r in out)
+    assert [r.rank for r in sorted(out, key=lambda r: -r.cosine)] == [1, 2, 3]
+
+
+def test_decode_media_requires_decoder(docs):
+    m = with_media(docs)
+    with pytest.raises(NotImplementedError):
+        decode_media(m)
+
+
+def test_decode_media_matches_jvm_byte_features(docs):
+    m = with_media(docs.limit(50))
+    py = decode_media(m, decoder=fake_decoder).select(
+        "doc_id", "n_bytes", "first_byte", "byte_checksum")
+    jvm = media_byte_features(m)
+    a = {r.doc_id: (r.n_bytes, r.first_byte, r.byte_checksum) for r in py.collect()}
+    b = {r.doc_id: (r.n_bytes, r.first_byte, r.byte_checksum) for r in jvm.collect()}
+    assert a == b
+    # and the stubbed decode emits the deterministic fake dims
+    w = decode_media(m, decoder=fake_decoder).select("doc_id", "width", "height").first()
+    assert w.width % 16 == 0 and w.height % 16 == 0

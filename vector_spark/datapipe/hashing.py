@@ -1,0 +1,51 @@
+"""Cross-engine deterministic hashing primitives.
+
+Production Spark code should use ``F.xxhash64`` (JVM-native, fastest), but
+correctness oracles need a hash both Spark SQL *and* DuckDB can compute
+bit-identically. We use the top 60 bits of md5 (hex substring -> int),
+which both engines expose:
+
+    Spark : CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)
+    DuckDB: CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+
+MinHash permutations are universal hashes ``(a_i * h32 + b_i) % P`` with
+``h32 = h % 2^32`` and prime ``P = 4294967311`` — all intermediates stay
+under 2^53, so BIGINT arithmetic is exact in both engines (DuckDB widens,
+Spark stays in long; neither overflows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MINHASH_P = 4294967311  # smallest prime > 2^32
+H32_MOD = 4294967296  # 2^32
+
+
+def md5_60(col: Column | str) -> Column:
+    """Deterministic 60-bit hash of a string column (cross-engine)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def md5_60_sql(expr: str) -> str:
+    """DuckDB twin of :func:`md5_60` over a SQL expression."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def minhash_params(n_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for n universal-hash permutations.
+
+    Pure integer recurrence (no RNG object) so the Spark builder and the
+    SQL-string builder derive the exact same constants.
+    """
+    params = []
+    x = seed
+    for _ in range(n_perm):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (2**63)
+        a = 1 + x % 999_983
+        x = (x * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b = x % 999_983
+        params.append((a, b))
+    return params

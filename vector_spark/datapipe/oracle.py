@@ -1,0 +1,187 @@
+"""DuckDB oracle SQL for the datapipe operators (entry contract twins).
+
+Every builder mirrors its Spark counterpart constant-for-constant:
+same md5-substring hash, same MinHash (a, b) parameters, same fold
+orders — so value hashes match bit-exactly. Tables ``documents`` and
+``embeddings`` are driver-registered views.
+"""
+
+from __future__ import annotations
+
+from vector_spark.datapipe.dedup import N_BANDS, N_PERM, SHINGLE_K
+from vector_spark.datapipe.hashing import MINHASH_P, md5_60_sql, minhash_params
+from vector_spark.datapipe.text_stats import (
+    BPE_TOKEN_RE,
+    EN_STOPWORDS,
+    FP_MOD,
+    duck_fingerprint,
+    duck_lang_pred,
+    duck_tokens,
+)
+
+TOKS = duck_tokens("text")
+
+# documents plus deterministic near-duplicates (last word dropped) so the
+# near-dup detectors have real positives to find; ids offset by 100000.
+AUG_DOCS = f"""aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(list_slice({TOKS}, 1, len({TOKS}) - 1), ' ') AS text
+  FROM documents WHERE len({TOKS}) > {SHINGLE_K}
+)"""
+
+_SHINGLES = (
+    f"CASE WHEN len({TOKS}) >= {SHINGLE_K} THEN "
+    f"list_distinct(list_transform(range(0, len({TOKS}) - {SHINGLE_K - 1}), "
+    f"i -> array_to_string(list_slice({TOKS}, i + 1, i + {SHINGLE_K}), ' '))) "
+    f"ELSE [] END"
+)
+
+SHINGLES_CTE = f"sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM aug)"
+
+_H32_TOKENS = f"list_transform({TOKS}, t -> {md5_60_sql('t')} % 4294967296)"
+
+
+def _cos(a: str, b: str) -> str:
+    """Sequential-fold cosine, bit-identical to dedup.cosine_expr."""
+    def dot(x, y):
+        return (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+                f"list_transform(range(1, len({x}) + 1), "
+                f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE))), (p, q) -> p + q)")
+    return f"({dot(a, b)}) / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
+
+
+def token_counts_sql() -> str:
+    return f"""SELECT doc_id,
+      CAST(len({TOKS}) AS BIGINT) AS n_tokens_ws,
+      CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_tokens_bpe,
+      CAST(length(text) AS BIGINT) AS n_chars_calc
+    FROM documents"""
+
+
+def quality_sql() -> str:
+    stop = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    n = f"len({TOKS})"
+    n_stop = f"len(list_filter({TOKS}, t -> lower(t) IN ({stop})))"
+    n_punct = "len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))"
+    mean_wl = f"CAST(list_sum(list_transform({TOKS}, t -> length(t))) AS DOUBLE) / {n}"
+    score = (
+        f"least(1.0, least(CAST({n} AS DOUBLE) / 50.0, 1.0) * 0.5"
+        f" + least(CAST({n_stop} AS DOUBLE) / greatest(CAST({n} AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3"
+        f" + (1.0 - least(CAST({n_punct} AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2)"
+    )
+    return f"""SELECT doc_id,
+      CAST({n} AS BIGINT) AS n_words,
+      round({n_stop} / CAST(greatest({n}, 1) AS DOUBLE), 6) AS stopword_ratio,
+      round({n_punct} / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+      round({mean_wl}, 6) AS mean_word_len,
+      round({score}, 6) AS quality_score
+    FROM documents"""
+
+
+def lang_id_sql() -> str:
+    return f"""SELECT doc_id, {duck_lang_pred('text')} AS lang_pred, lang
+    FROM documents"""
+
+
+def fingerprint_sql() -> str:
+    return f"""SELECT doc_id, CAST({duck_fingerprint('text')} AS BIGINT) AS fingerprint
+    FROM documents"""
+
+
+def dedup_exact_sql() -> str:
+    return """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+      count(*) AS n_dupes
+    FROM documents GROUP BY md5(text)"""
+
+
+def ngram_jaccard_sql(min_shared: int = 2) -> str:
+    return f"""WITH {AUG_DOCS}, {SHINGLES_CTE},
+      sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+      ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+            FROM ex a JOIN ex b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= {min_shared})
+    SELECT id1, id2, n_shared,
+           CAST(s1.n_sh AS BIGINT) AS n1, CAST(s2.n_sh AS BIGINT) AS n2,
+           round(n_shared / CAST(s1.n_sh + s2.n_sh - n_shared AS DOUBLE), 6) AS jaccard
+    FROM p JOIN sz s1 ON p.id1 = s1.doc_id JOIN sz s2 ON p.id2 = s2.doc_id"""
+
+
+def minhash_lsh_sql() -> str:
+    rows = N_PERM // N_BANDS
+    sig_exprs = [
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_P}))"
+        for a, b in minhash_params(N_PERM)
+    ]
+    sig_list = "[" + ", ".join(sig_exprs) + "]"
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_idx, concat_ws('-', "
+        + ", ".join(f"CAST(sig[{bi * rows + j + 1}] AS VARCHAR)" for j in range(rows))
+        + ") AS band_key FROM sigs"
+        for bi in range(N_BANDS)
+    )
+    return f"""WITH {AUG_DOCS}, {SHINGLES_CTE},
+      hsh AS (SELECT doc_id, shingles,
+                     list_transform(shingles, s -> {md5_60_sql('s')} % 4294967296) AS hs
+              FROM sh WHERE len(shingles) > 0),
+      sigs AS (SELECT doc_id, shingles, {sig_list} AS sig FROM hsh),
+      bands AS ({band_selects}),
+      cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+               FROM bands a JOIN bands b USING (band_idx, band_key)
+               WHERE a.doc_id < b.doc_id)
+    SELECT id1, id2,
+           CAST(len(list_intersect(s1.shingles, s2.shingles)) AS BIGINT) AS n_shared,
+           round(len(list_intersect(s1.shingles, s2.shingles))
+                 / CAST(len(s1.shingles) + len(s2.shingles)
+                        - len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE), 6) AS jaccard
+    FROM cand JOIN sigs s1 ON id1 = s1.doc_id JOIN sigs s2 ON id2 = s2.doc_id"""
+
+
+def simhash_sql(max_hamming: int = 3) -> str:
+    bit_sum = (f"list_transform(range(0, 32), j -> CASE WHEN "
+               f"list_sum(list_transform(hs, h -> 2 * ((h // CAST(pow(2, j) AS BIGINT)) % 2) - 1)) > 0 "
+               f"THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    return f"""WITH {AUG_DOCS},
+      hsh AS (SELECT doc_id, {_H32_TOKENS.replace('documents', 'aug')} AS hs FROM aug),
+      s AS (SELECT doc_id, CAST(list_sum({bit_sum}) AS BIGINT) AS simhash FROM hsh)
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           a.simhash AS h1, b.simhash AS h2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+def embedding_neardup_sql(min_cosine: float = 0.35) -> str:
+    cos = _cos("a.embedding", "b.embedding")
+    return f"""SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
+           round({cos}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {cos} >= {min_cosine}"""
+
+
+def ann_topk_sql(k: int = 5, query_mod: int = 25, bucketed: bool = False) -> str:
+    cos = _cos("q.qvec", "e.embedding")
+    join = ("JOIN q ON e.label = q.label AND e.vec_id <> q.query_id" if bucketed
+            else "JOIN q ON e.vec_id <> q.query_id")
+    qcols = "vec_id AS query_id, embedding AS qvec" + (", label" if bucketed else "")
+    return f"""WITH q AS (SELECT {qcols} FROM embeddings WHERE vec_id % {query_mod} = 0),
+      scored AS (SELECT q.query_id, e.vec_id, {cos} AS cosine
+                 FROM embeddings e {join}),
+      ranked AS (SELECT query_id, vec_id, cosine,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, vec_id) AS rank
+                 FROM scored)
+    SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+    FROM ranked WHERE rank <= {k}"""
+
+
+def media_features_sql() -> str:
+    return """SELECT doc_id,
+      CAST(16 AS BIGINT) AS n_bytes,
+      CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS first_byte,
+      CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS byte_checksum
+    FROM documents"""

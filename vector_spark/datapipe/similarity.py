@@ -1,0 +1,60 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two strategies over ``embeddings (vec_id, embedding array<float>, label)``:
+
+- brute_force_topk: exact cosine top-k. Query set is broadcast and the
+  corpus is scanned once (one narrow map + per-query top-k via window).
+  This is the correctness baseline and is already the right *shape* for
+  scale when |queries| is small: broadcast join => no shuffle of the
+  corpus, and the window partitions by query_id (|Q| * k rows shuffled).
+- ivf_topk: IVF-style coarse-bucketed search — restrict each query to
+  its own coarse cell (here the label column as the quantizer cell,
+  nprobe=1). Same plan shape with the bucket key added to the join,
+  cutting the scanned corpus per query by the bucket fan-out.
+
+Cosine is the bit-exact sequential fold from dedup.cosine_expr so DuckDB
+oracles agree exactly; ties broken by vec_id for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_spark.datapipe.dedup import cosine_expr
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (self excluded)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .withColumn("cosine", F.expr(cosine_expr("qvec", "cvec")))
+    )
+    return _topk(scored, k)
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             bucket_col: str = "label") -> DataFrame:
+    """IVF-bucketed ANN: search only the query's coarse cell (nprobe=1)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+                       F.col(bucket_col))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec"), F.col(bucket_col))
+    scored = (
+        c.join(F.broadcast(q), on=bucket_col)
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn("cosine", F.expr(cosine_expr("qvec", "cvec")))
+    )
+    return _topk(scored, k)

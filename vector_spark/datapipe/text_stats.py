@@ -1,0 +1,133 @@
+"""Text-analysis operators for training-data curation over ``documents``.
+
+All ops are pure JVM-side column expressions (no Python UDFs): token
+counting (whitespace + BPE-ish regex), quality scoring, marker-token
+language ID, and a rolling-hash document fingerprint. Each has an exact
+DuckDB oracle twin built from the same constants (entry_queries).
+
+Scale note: every op here is a narrow map over the scan — no shuffle, no
+driver traffic; at 100 TB these run at parquet-scan speed and column
+pruning keeps the scan to (doc_id, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_spark.datapipe.hashing import md5_60_sql
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum glyph.
+# Same regex dialect subset works in Java regex (Spark) and RE2 (DuckDB).
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# marker tokens per language for the n-gram/stopword heuristic language ID
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+FP_MOD = 1_000_000_007
+
+
+def tokens_col(text: str = "text") -> Column:
+    return F.split(F.trim(F.col(text)), r"\s+")
+
+
+def with_token_counts(df: DataFrame, text: str = "text") -> DataFrame:
+    """Whitespace and BPE-ish token counts + char count."""
+    return (
+        df.withColumn("n_tokens_ws", F.size(tokens_col(text)))
+        .withColumn("n_tokens_bpe", F.size(F.regexp_extract_all(F.col(text), F.lit(BPE_TOKEN_RE), 0)))
+        .withColumn("n_chars", F.length(text))
+    )
+
+
+def with_quality(df: DataFrame, text: str = "text") -> DataFrame:
+    """Heuristic quality features: mean word length, stopword ratio,
+    punctuation ratio, and a composite score in [0, 1]."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_punct = F.size(F.regexp_extract_all(F.col(text), F.lit("[^A-Za-z0-9 ]"), 0))
+    mean_wl = (F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)) / n)
+    score = F.least(
+        F.lit(1.0),
+        (F.least(n.cast("double") / 50.0, F.lit(1.0)) * 0.5
+         + F.least(n_stop.cast("double") / F.greatest(n.cast("double"), F.lit(1.0)) * 5.0, F.lit(1.0)) * 0.3
+         + (1.0 - F.least(n_punct.cast("double") / F.greatest(F.length(text).cast("double"), F.lit(1.0)) * 10.0, F.lit(1.0))) * 0.2),
+    )
+    return (
+        df.withColumn("n_words", n)
+        .withColumn("stopword_ratio", F.round(n_stop / F.greatest(n, F.lit(1)).cast("double"), 6))
+        .withColumn("punct_ratio", F.round(n_punct / F.greatest(F.length(text), F.lit(1)).cast("double"), 6))
+        .withColumn("mean_word_len", F.round(mean_wl, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def with_lang_id(df: DataFrame, text: str = "text") -> DataFrame:
+    """Marker-token language scorer: argmax over per-language marker hit
+    counts; ties and zero-hit rows -> 'und'. Deterministic (tie broken by
+    language code order)."""
+    toks = F.transform(tokens_col(text), lambda t: F.lower(t))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        scores.append((lang, F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))))
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # first language (in sorted order) achieving the max; und if max == 0
+    for lang, s in reversed(scores):
+        pred = F.when(s == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return df.withColumn("lang_pred", pred).withColumn("lang_hits", best)
+
+
+def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint:
+    fold over token hashes ``acc = (acc*31 + h32(token)) % 1e9+7``.
+    Cross-engine exact (all intermediates < 2^53)."""
+    toks = tokens_col(text)
+    h32 = f"transform(split(trim({text}), '\\\\s+'), t -> {md5_60_spark_sql('t')} % 4294967296)"
+    fp = F.expr(f"aggregate({h32}, 0L, (acc, h) -> (acc * 31 + h) % {FP_MOD})")
+    return df.withColumn("fingerprint", fp)
+
+
+def md5_60_spark_sql(expr: str) -> str:
+    """Spark-SQL-string twin of hashing.md5_60 (for use inside F.expr)."""
+    return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle fragments (same constants, same fold order)
+# ---------------------------------------------------------------------------
+
+def duck_tokens(text: str = "text") -> str:
+    return f"string_split_regex(trim({text}), '\\s+')"
+
+
+def duck_fingerprint(text: str = "text") -> str:
+    h32 = f"list_transform({duck_tokens(text)}, t -> {md5_60_sql('t')} % 4294967296)"
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), {h32}), "
+            f"(acc, h) -> (acc * 31 + h) % {FP_MOD})")
+
+
+def duck_lang_pred(text: str = "text") -> str:
+    toks = f"list_transform({duck_tokens(text)}, t -> lower(t))"
+    score = {
+        lang: (f"len(list_filter({toks}, t -> t IN ("
+               + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + ")))")
+        for lang in sorted(LANG_MARKERS)
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in sorted(LANG_MARKERS):
+        case += f"WHEN {score[lang]} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return case

@@ -24,6 +24,23 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from vector_spark.datapipe import oracle as dp_oracle
+from vector_spark.datapipe.dedup import (
+    SHINGLE_K,
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from vector_spark.datapipe.similarity import brute_force_topk, ivf_topk
+from vector_spark.datapipe.text_stats import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality,
+    with_token_counts,
+)
+from vector_spark.datapipe.multimodal import media_byte_features, with_media
 from vector_spark.functions.oracle import ROUTE_SQL, UNMATCHED_SQL, parsed_cte
 from vector_spark.functions.parse import parse_all
 from vector_spark.operators.aggregate import aggregate_metrics
@@ -261,6 +278,111 @@ def q_json_props(spark, sf_dir):
     return ev.select("event_id", F.from_json("props", "k int")["k"].alias("props_k"))
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline queries (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _aug_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic near-duplicates (last word dropped,
+    doc_id offset 100000) — positives for the near-dup detectors.
+    Mirrors dp_oracle.AUG_DOCS exactly."""
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    toks = "split(trim(text), '\\\\s+')"
+    variant = (d.where(F.expr(f"size({toks}) > {SHINGLE_K}"))
+               .select((F.col("doc_id") + 100000).alias("doc_id"),
+                       F.expr(f"concat_ws(' ', slice({toks}, 1, size({toks}) - 1))").alias("text")))
+    return d.unionByName(variant)
+
+
+def q_text_token_counts(spark, sf_dir):
+    return (with_token_counts(_documents(spark, sf_dir).select("doc_id", "text"))
+            .select("doc_id",
+                    F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+                    F.col("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
+                    F.col("n_chars").cast("long").alias("n_chars_calc")))
+
+
+def q_text_quality(spark, sf_dir):
+    return (with_quality(_documents(spark, sf_dir).select("doc_id", "text"))
+            .select("doc_id", F.col("n_words").cast("long").alias("n_words"),
+                    "stopword_ratio", "punct_ratio", "mean_word_len", "quality_score"))
+
+
+def q_text_lang_id(spark, sf_dir):
+    return (with_lang_id(_documents(spark, sf_dir).select("doc_id", "text", "lang"))
+            .select("doc_id", "lang_pred", "lang"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return (with_fingerprint(_documents(spark, sf_dir).select("doc_id", "text"))
+            .select("doc_id", "fingerprint"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_documents(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return (ngram_jaccard_pairs(_aug_documents(spark, sf_dir), min_shared=2)
+            .select("id1", "id2", "n_shared",
+                    F.col("n1").cast("long").alias("n1"),
+                    F.col("n2").cast("long").alias("n2"), "jaccard"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return (minhash_lsh_pairs(_aug_documents(spark, sf_dir))
+            .select("id1", "id2", F.col("n_shared").cast("long").alias("n_shared"), "jaccard"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return (simhash_pairs(_aug_documents(spark, sf_dir))
+            .select("id1", "id2", "h1", "h2", F.col("hamming").cast("long").alias("hamming")))
+
+
+def q_dedup_embedding(spark, sf_dir):
+    return embedding_neardup_pairs(_embeddings(spark, sf_dir), min_cosine=0.35)
+
+
+def q_ann_brute(spark, sf_dir):
+    e = _embeddings(spark, sf_dir)
+    q = e.where(F.col("vec_id") % 25 == 0)
+    df = brute_force_topk(e, q, k=5)
+    return df.select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+def q_ann_ivf(spark, sf_dir):
+    e = _embeddings(spark, sf_dir)
+    q = e.where(F.col("vec_id") % 25 == 0)
+    df = ivf_topk(e, q, k=5)
+    return df.select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+def q_media_features(spark, sf_dir):
+    m = with_media(_documents(spark, sf_dir))
+    return (media_byte_features(m)
+            .select("doc_id", F.col("n_bytes").cast("long").alias("n_bytes"),
+                    F.col("first_byte").cast("long").alias("first_byte"), "byte_checksum"))
+
+
+def q_media_decode(spark, sf_dir):
+    """mapInPandas decode plumbing (Arrow batches); no SQL oracle —
+    driver records the weaker rows-only check for this one."""
+    from vector_spark.datapipe.multimodal import decode_media, fake_decoder
+
+    m = with_media(_documents(spark, sf_dir))
+    return decode_media(m, decoder=fake_decoder)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_sink_counts": q_sink_counts,
     "pipeline_routed_rows": q_routed_rows,
@@ -288,6 +410,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_to_absolute": q_inc_to_abs,
     "tag_cardinality_limit": q_cardinality,
     "parse_json_props": q_json_props,
+    "text_token_counts": q_text_token_counts,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding,
+    "ann_brute_topk": q_ann_brute,
+    "ann_ivf_topk": q_ann_ivf,
+    "media_byte_features": q_media_features,
+    "media_decode_stub": q_media_decode,
 }
 
 
@@ -489,5 +624,19 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
     o["parse_json_props"] = """SELECT event_id,
              CAST(json_extract(props, '$.k') AS INTEGER) AS props_k
       FROM events"""
+
+    o["text_token_counts"] = dp_oracle.token_counts_sql()
+    o["text_quality"] = dp_oracle.quality_sql()
+    o["text_lang_id"] = dp_oracle.lang_id_sql()
+    o["text_fingerprint"] = dp_oracle.fingerprint_sql()
+    o["dedup_exact"] = dp_oracle.dedup_exact_sql()
+    o["dedup_ngram_jaccard"] = dp_oracle.ngram_jaccard_sql(min_shared=2)
+    o["dedup_minhash_lsh"] = dp_oracle.minhash_lsh_sql()
+    o["dedup_simhash"] = dp_oracle.simhash_sql()
+    o["dedup_embedding_cosine"] = dp_oracle.embedding_neardup_sql(min_cosine=0.35)
+    o["ann_brute_topk"] = dp_oracle.ann_topk_sql(k=5, query_mod=25, bucketed=False)
+    o["ann_ivf_topk"] = dp_oracle.ann_topk_sql(k=5, query_mod=25, bucketed=True)
+    o["media_byte_features"] = dp_oracle.media_features_sql()
+    # media_decode_stub: pandas-UDF path, deliberately no SQL oracle
 
     return o

@@ -1,0 +1,79 @@
+"""Hot-key salting for skewed per-conversation aggregation.
+
+The transcripts fixture deliberately gives one conversation ~5% of all
+turns (FIXTURES.md §1); at 10^12 turns a plain groupBy(conv_id) puts
+5*10^10 rows in one reducer task. Two mitigations, composable:
+
+- AQE skew-join/partition splitting (session.py turns it on) covers the
+  join side automatically;
+- for aggregations, :func:`salted_agg` runs the classic two-stage plan:
+  partial agg on (key, salt) — map-side combine spreads the hot key over
+  ``salt_factor`` reducers — then a tiny final merge on key alone. Only
+  mergeable aggregates (count/sum/min/max) are accepted, which is exactly
+  the decomposable subset of the reference's reduce merge strategies
+  (reference: src/transforms/reduce/merge_strategy.rs:17-55).
+
+:func:`hot_keys` finds keys above a row-share threshold (sampled, driver
+collects only the tiny over-threshold list) so callers can salt *only*
+hot keys and leave the long tail on the one-stage path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERGE = {
+    "count": ("count", F.sum),
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def hot_keys(df: DataFrame, key: str, min_share: float = 0.01,
+             sample_fraction: float | None = None) -> list:
+    """Keys holding more than ``min_share`` of (sampled) rows."""
+    d = df.sample(sample_fraction, seed=42) if sample_fraction else df
+    total = d.count()
+    if total == 0:
+        return []
+    rows = (d.groupBy(key).agg(F.count("*").alias("n"))
+            .where(F.col("n") >= max(1, int(total * min_share)))
+            .collect())
+    return [r[key] for r in rows]
+
+
+def salted_agg(df: DataFrame, key: str, aggs: dict[str, tuple[str, str]],
+               salt_factor: int = 16, salt_on: str | Column | None = None) -> DataFrame:
+    """Two-stage salted aggregation equivalent to
+    ``df.groupBy(key).agg(...)`` for mergeable aggregates.
+
+    aggs: {out_name: (fn, col)} with fn in {count, sum, min, max};
+    for count the col is ignored. ``salt_on`` is a row-level expression
+    spreading rows of one key across salts (default: xxhash64 of all
+    columns — deterministic).
+    """
+    for name, (fn, _col) in aggs.items():
+        if fn not in _MERGE:
+            raise ValueError(f"{name}: {fn!r} is not a mergeable aggregate")
+    salt_src = F.col(salt_on) if isinstance(salt_on, str) else (
+        salt_on if salt_on is not None else F.xxhash64(*df.columns))
+    salt = F.pmod(salt_src, F.lit(salt_factor)).alias("__salt")
+
+    partials, finals = [], []
+    for name, (fn, col) in aggs.items():
+        p_name = f"__p_{name}"
+        if fn == "count":
+            partials.append(F.count("*").alias(p_name))
+        else:
+            partials.append(_MERGE[fn][0](col).alias(p_name))
+        finals.append(_MERGE[fn][1](p_name).alias(name))
+
+    return (
+        df.withColumn("__salt", salt)
+        .groupBy(key, "__salt")
+        .agg(*partials)
+        .groupBy(key)
+        .agg(*finals)
+    )

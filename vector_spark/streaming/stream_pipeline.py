@@ -1,0 +1,124 @@
+"""Structured Streaming variant of the flagship pipeline.
+
+Reference mapping (SURVEY.md §2.10): the reference runs everything on
+processing-time wall clocks with no watermarks; here we deliberately
+upgrade to event-time (`ts`) + watermark — batch mode is event-complete
+and the streaming variant tolerates late data up to the watermark. This
+is a documented semantic improvement, not a parity bug.
+
+Pieces:
+- ``stream_transcripts``  : file-stream source over the transcripts dir
+  (stand-in for the Kafka/Iceberg stream source; same fixed schema).
+- ``run_streaming_fanout``: foreachBatch fan-out — parse -> broadcast
+  enrich -> non-exclusive route, persist the batch once, one
+  partitionBy("route") write + per-sink counters into an append-only
+  metrics dir. Checkpointed (``checkpointLocation``) so a killed query
+  resumes from the last committed epoch — exactly-once per sink dir.
+- ``streaming_windowed_counts``: watermarked tumbling event-time window
+  per route (the streaming twin of aggregate interval_ms,
+  reference src/transforms/aggregate.rs:323-356).
+- ``streaming_dedupe``: dropDuplicatesWithinWatermark on the dedupe key
+  (streaming twin of the reference LRU dedupe cache).
+
+Scale notes: the only stateful stage is the windowed agg, partitioned by
+(window, route) — bounded state via the watermark; fan-out writes stay
+stateless because routing is stateless. foreachBatch persists each
+micro-batch once, so N sinks never rescan the source (reference fanout
+clones per consumer, lib/vector-core/src/fanout.rs:196-230).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from vector_spark.functions.parse import parse_all
+from vector_spark.operators.enrich import enrich_equals, enrich_range
+from vector_spark.operators.route import flagship_conditions, route_exploded
+from vector_spark.sources.enrichment import ensure_role_meta, ensure_tool_meta
+
+TRANSCRIPT_SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("turn_idx", IntegerType()),
+    StructField("role", StringType()),
+    StructField("text", StringType()),
+    StructField("tool", StringType()),
+    StructField("ts", TimestampType()),
+])
+
+
+def stream_transcripts(spark: SparkSession, src_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir)
+
+
+def _enriched(spark: SparkSession, df: DataFrame) -> DataFrame:
+    tool_meta = spark.read.parquet(ensure_tool_meta())
+    role_meta = spark.read.parquet(ensure_role_meta())
+    out = parse_all(df)
+    out = enrich_equals(out, tool_meta, on="tool", case_sensitive=True)
+    return enrich_range(out, role_meta, on="role", ts_col="ts")
+
+
+def run_streaming_fanout(spark: SparkSession, src_dir: str, out_dir: str,
+                         checkpoint_dir: str, available_now: bool = True):
+    """Start (and with available_now=True, drain) the streaming fan-out job."""
+    stream = stream_transcripts(spark, src_dir)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        routed = route_exploded(_enriched(spark, batch_df), flagship_conditions())
+        routed.persist()
+        try:
+            (routed.write.mode("append").partitionBy("route")
+             .parquet(os.path.join(out_dir, "sinks")))
+            counts = (routed.groupBy("route").agg(F.count("*").alias("n"))
+                      .withColumn("epoch_id", F.lit(epoch_id)))
+            counts.write.mode("append").parquet(os.path.join(out_dir, "metrics"))
+        finally:
+            routed.unpersist()
+
+    writer = (stream.writeStream.foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def streaming_windowed_counts(spark: SparkSession, src_dir: str,
+                              window_secs: int = 3600,
+                              watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked event-time tumbling counts per route (unwritten plan —
+    callers attach their own sink/trigger)."""
+    stream = stream_transcripts(spark, src_dir)
+    routed = route_exploded(_enriched(spark, stream), flagship_conditions())
+    return (
+        routed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{window_secs} seconds").alias("win"), "route")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "route", "n_events")
+    )
+
+
+def streaming_dedupe(spark: SparkSession, src_dir: str,
+                     keys: list[str] | None = None,
+                     watermark: str = "10 minutes") -> DataFrame:
+    """Streaming dedupe with bounded state: dropDuplicatesWithinWatermark
+    (streaming twin of the reference LRU/TTL dedupe,
+    src/transforms/dedupe/transform.rs:47-85)."""
+    stream = stream_transcripts(spark, src_dir)
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["conv_id", "turn_idx"])
