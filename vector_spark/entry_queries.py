@@ -278,6 +278,28 @@ def q_json_props(spark, sf_dir):
     return ev.select("event_id", F.from_json("props", "k int")["k"].alias("props_k"))
 
 
+def q_remap_dropped(spark, sf_dir):
+    """reroute_dropped semantics: unparseable (freeform) lines land on the
+    annotated `dropped` port (reference remap.rs:497-557)."""
+    from vector_spark.operators.remap import remap_split_dropped
+
+    p = _parsed(spark, sf_dir)
+    ports = remap_split_dropped(p, F.col("kind") == "freeform", component_id="parse_text",
+                                reason="error", message="strict parse failed")
+    return ports["dropped"].select(
+        "conv_id", "turn_idx", "dropped_reason", "dropped_message",
+        "dropped_component_id", "dropped_component_type", "dropped_component_kind")
+
+
+def q_sample_ratio(spark, sf_dir):
+    from vector_spark.operators.sample import sample_by_ratio
+
+    h = F.expr(_SAMPLE_HASH_SQL)
+    df = sample_by_ratio(_transcripts(spark, sf_dir), key="conv_id", ratio=0.2, hash_expr=h)
+    return df.select("conv_id", "turn_idx",
+                     F.col("sample_rate").cast("long").alias("sample_rate"))
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline queries (documents / embeddings tables)
 # ---------------------------------------------------------------------------
@@ -410,6 +432,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_to_absolute": q_inc_to_abs,
     "tag_cardinality_limit": q_cardinality,
     "parse_json_props": q_json_props,
+    "remap_dropped_port": q_remap_dropped,
+    "sample_ratio": q_sample_ratio,
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
@@ -624,6 +648,19 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
     o["parse_json_props"] = """SELECT event_id,
              CAST(json_extract(props, '$.k') AS INTEGER) AS props_k
       FROM events"""
+
+    o["remap_dropped_port"] = f"""WITH {P}
+      SELECT conv_id, turn_idx,
+             'error' AS dropped_reason,
+             'strict parse failed' AS dropped_message,
+             'parse_text' AS dropped_component_id,
+             'remap' AS dropped_component_type,
+             'transform' AS dropped_component_kind
+      FROM parsed WHERE kind = 'freeform'"""
+
+    o["sample_ratio"] = f"""SELECT conv_id, turn_idx, CAST(5 AS BIGINT) AS sample_rate
+      FROM read_parquet('{tp}')
+      WHERE {_SAMPLE_HASH_SQL} < {int(0.2 * 2**32)}"""
 
     o["text_token_counts"] = dp_oracle.token_counts_sql()
     o["text_quality"] = dp_oracle.quality_sql()

@@ -1,0 +1,195 @@
+"""VRL-subset boolean condition compiler: expression string -> Column.
+
+The reference evaluates route/filter predicates as compiled VRL boolean
+programs (src/conditions/vrl.rs) over event fields. Our events are fixed
+DataFrame columns, so a condition is compiled to a pyspark Column and
+runs JVM-side inside whole-stage codegen — the Spark analogue of VRL's
+compile-once-run-batched model.
+
+Grammar (a deliberate VRL subset — enough for every condition in the
+reference's behavior tests, tests/behavior/transforms/*.toml):
+
+    expr     := or
+    or       := and ( "||" and )*
+    and      := unary ( "&&" unary )*
+    unary    := "!" unary | primary
+    primary  := "(" expr ")" | call | comparison | path | literal
+    comparison := operand (== != < <= > >=) operand
+    call     := ident "(" args ")"      -- exists, contains, starts_with,
+                                            ends_with, match, is_null, length
+    path     := "." ident ("." ident)*  -- field access, e.g. .status_any
+    literal  := number | "string" | true | false | null
+
+Null semantics follow VRL's error-coalescing style: comparisons against
+NULL are NULL and the route layer coalesces to false (route._coalesce_false),
+matching remap/filter drop behavior on fallible predicates.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:"
+    r"(?P<num>-?\d+(?:\.\d+)?)"
+    r"|(?P<str>\"(?:[^\"\\]|\\.)*\")"
+    r"|(?P<path>\.(?:[A-Za-z_][A-Za-z0-9_]*)(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"|(?P<ident>[A-Za-z_][A-Za-z0-9_]*)"
+    r"|(?P<op>==|!=|<=|>=|\|\||&&|[!<>(),])"
+    r")"
+)
+
+_FUNCS = {"exists", "contains", "starts_with", "ends_with", "match", "is_null", "length"}
+
+
+@dataclass
+class _Tok:
+    kind: str
+    value: str
+
+
+def _tokenize(src: str) -> list[_Tok]:
+    toks, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m or m.end() == pos:
+            if src[pos:].strip() == "":
+                break
+            raise ValueError(f"condition syntax error at {src[pos:pos+20]!r}")
+        pos = m.end()
+        for kind in ("num", "str", "path", "ident", "op"):
+            v = m.group(kind)
+            if v is not None:
+                toks.append(_Tok(kind, v))
+                break
+    return toks
+
+
+class _Parser:
+    def __init__(self, toks: list[_Tok], src: str):
+        self.toks, self.i, self.src = toks, 0, src
+
+    def peek(self) -> _Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> _Tok:
+        t = self.peek()
+        if t is None:
+            raise ValueError(f"unexpected end of condition: {self.src!r}")
+        self.i += 1
+        return t
+
+    def expect(self, value: str) -> None:
+        t = self.next()
+        if t.value != value:
+            raise ValueError(f"expected {value!r}, got {t.value!r} in {self.src!r}")
+
+    # -- grammar --------------------------------------------------------
+    def parse(self) -> Column:
+        c = self.or_()
+        if self.peek() is not None:
+            raise ValueError(f"trailing tokens {self.toks[self.i:]} in {self.src!r}")
+        return self._as_bool(c)
+
+    def or_(self):
+        left = self.and_()
+        while self.peek() and self.peek().value == "||":
+            self.next()
+            left = self._as_bool(left) | self._as_bool(self.and_())
+        return left
+
+    def and_(self):
+        left = self.unary()
+        while self.peek() and self.peek().value == "&&":
+            self.next()
+            left = self._as_bool(left) & self._as_bool(self.unary())
+        return left
+
+    def unary(self):
+        t = self.peek()
+        if t and t.value == "!":
+            self.next()
+            return ~self._as_bool(self.unary())
+        return self.comparison()
+
+    def comparison(self):
+        left = self.primary()
+        t = self.peek()
+        if t and t.value in ("==", "!=", "<", "<=", ">", ">="):
+            op = self.next().value
+            right = self.primary()
+            lc, rc = self._as_col(left), self._as_col(right)
+            return {
+                "==": lc == rc, "!=": lc != rc, "<": lc < rc,
+                "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
+            }[op]
+        return left
+
+    def primary(self):
+        t = self.next()
+        if t.value == "(":
+            c = self.or_()
+            self.expect(")")
+            return c
+        if t.kind == "path":
+            return F.col(t.value[1:].replace(".", "."))
+        if t.kind == "num":
+            return float(t.value) if "." in t.value else int(t.value)
+        if t.kind == "str":
+            return t.value[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+        if t.kind == "ident":
+            if t.value in ("true", "false"):
+                return F.lit(t.value == "true")
+            if t.value == "null":
+                return F.lit(None)
+            if t.value in _FUNCS:
+                return self.call(t.value)
+            raise ValueError(f"unknown identifier {t.value!r} in {self.src!r}")
+        raise ValueError(f"unexpected token {t.value!r} in {self.src!r}")
+
+    def call(self, name: str) -> Column:
+        self.expect("(")
+        args = [self.or_()]
+        while self.peek() and self.peek().value == ",":
+            self.next()
+            args.append(self.or_())
+        self.expect(")")
+        cols = [self._as_col(a) for a in args]
+        if name == "exists":
+            return cols[0].isNotNull()
+        if name == "is_null":
+            return cols[0].isNull()
+        if name == "contains":
+            return cols[0].contains(cols[1])
+        if name == "starts_with":
+            return cols[0].startswith(cols[1])
+        if name == "ends_with":
+            return cols[0].endswith(cols[1])
+        if name == "match":
+            return cols[0].rlike(args[1] if isinstance(args[1], str) else args[1])
+        if name == "length":
+            return F.length(cols[0])
+        raise ValueError(f"unknown function {name!r}")
+
+    # -- helpers --------------------------------------------------------
+    @staticmethod
+    def _as_col(v) -> Column:
+        return v if isinstance(v, Column) else F.lit(v)
+
+    @staticmethod
+    def _as_bool(v) -> Column:
+        if not isinstance(v, Column):
+            raise ValueError(f"expected boolean expression, got literal {v!r}")
+        return v
+
+
+def compile_condition(src: str) -> Column:
+    """Compile a VRL-subset boolean expression to a pyspark Column.
+
+    >>> compile_condition('.status_any >= 500 || .level == "error"')
+    """
+    return _Parser(_tokenize(src), src).parse()

@@ -1,0 +1,49 @@
+"""Remap error-channel semantics: drop / forward / reroute-dropped.
+
+Reference (src/transforms/remap.rs:47,112-151,497-557,604-645): a remap
+transform with ``reroute_dropped=true`` sends events whose VRL program
+errored/aborted to a secondary ``dropped`` output port, annotated under
+``metadata.dropped.{reason, message, component_id, component_type,
+component_kind}``; with ``drop_on_error=false`` the **original untouched
+event** is forwarded on the primary port instead (clone-before-run,
+remap.rs:568-587).
+
+Spark mapping: "the program errored" is a boolean column (e.g. parse
+produced no fields / a try_cast returned NULL); the two ports are two
+filters over one projection — same single-scan shape as route.
+parse_all already implements forward-original semantics (failed parse
+=> NULL fields, original text kept).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DROPPED_ANNOTATIONS = ("dropped_reason", "dropped_message", "dropped_component_id",
+                       "dropped_component_type", "dropped_component_kind")
+
+
+def remap_split_dropped(
+    df: DataFrame,
+    error_cond: Column,
+    component_id: str,
+    reason: str = "error",
+    message: Column | str = "remap program failed",
+) -> dict[str, DataFrame]:
+    """Split a remapped DataFrame into primary + annotated ``dropped`` port.
+
+    Returns {"primary": ..., "dropped": ...}; the dropped side carries the
+    reference's annotation fields as flat columns.
+    """
+    err = F.coalesce(error_cond, F.lit(False))
+    msg = F.lit(message) if isinstance(message, str) else message
+    dropped = (
+        df.filter(err)
+        .withColumn("dropped_reason", F.lit(reason))
+        .withColumn("dropped_message", msg)
+        .withColumn("dropped_component_id", F.lit(component_id))
+        .withColumn("dropped_component_type", F.lit("remap"))
+        .withColumn("dropped_component_kind", F.lit("transform"))
+    )
+    return {"primary": df.filter(~err), "dropped": dropped}

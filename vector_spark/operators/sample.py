@@ -31,6 +31,27 @@ def sample_by_key(
     )
 
 
+def sample_by_ratio(
+    df: DataFrame, key: str | Column, ratio: float,
+    hash_expr: Column | None = None, exclude: Column | None = None,
+    sample_rate_field: str = "sample_rate",
+) -> DataFrame:
+    """Ratio mode (transform.rs:170-186): keep iff hash(key) <= ratio *
+    2^64 — consistent per key, order-free. ``exclude`` rows bypass
+    sampling entirely (kept, no sample_rate tag), mirroring the reference
+    exclude condition."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    # uniform in [0, 2^32): keep the low fraction `ratio` of hash space
+    h = hash_expr if hash_expr is not None else F.pmod(F.xxhash64(key_col), F.lit(2**32))
+    keep = h < F.lit(int(ratio * 2**32))
+    kept = df.filter(keep if exclude is None
+                     else keep | F.coalesce(exclude, F.lit(False)))
+    rate = F.lit(round(1.0 / ratio)) if ratio > 0 else F.lit(None)
+    if exclude is not None:
+        rate = F.when(F.coalesce(exclude, F.lit(False)), F.lit(None)).otherwise(rate)
+    return kept.withColumn(sample_rate_field, rate)
+
+
 def sample_by_count(
     df: DataFrame, group_by: list[str], order_by: list[str], rate: int,
     sample_rate_field: str = "sample_rate",

@@ -1,0 +1,236 @@
+"""Declarative pipeline spec -> DataFrame DAG compiler.
+
+The reference's primary user surface is a config file describing a DAG of
+sources -> transforms -> sinks wired by component names and output ports
+(reference: src/config/graph.rs:14-58, compile pipeline
+src/config/compiler.rs:9-115). This module is the Spark-native twin: a
+plain dict spec compiled to DataFrames, with the same validation steps —
+name resolution, unknown-input detection, DFS cycle detection, port
+references (``route_name.port``) — and transform types backed by the
+operator library.
+
+Spec shape::
+
+    {
+      "sources": {"in": {"type": "parquet", "path": "..."}},
+      "transforms": {
+        "parsed":  {"type": "remap_parse", "inputs": ["in"]},
+        "routes":  {"type": "route", "inputs": ["parsed"],
+                     "routes": {"errors": '.level == "error"', ...}},
+        "slim":    {"type": "filter", "inputs": ["routes.errors"],
+                     "condition": '.status_any >= 500'},
+      },
+      "sinks": {"out": {"type": "parquet", "inputs": ["slim"], "path": "..."}},
+    }
+
+Conditions are VRL-subset strings (functions.conditions). Multiple inputs
+union by name (the reference merges multi-input arrival order implicitly,
+src/config/graph.rs:161+; order is irrelevant under Spark's set
+semantics + our explicit sort-before-compare rule).
+
+Execution stays lazy: ``build`` returns {component: DataFrame}; ``run``
+writes sinks (parquet dir per sink / in-memory counts) and returns
+per-sink row counts — the component_sent_events_total counters.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_spark.functions.conditions import compile_condition
+from vector_spark.functions.parse import parse_all
+from vector_spark.operators.dedupe import dedupe
+from vector_spark.operators.enrich import enrich_equals, enrich_range
+from vector_spark.operators.reduce import reduce_events
+from vector_spark.operators.route import UNMATCHED, exclusive_route, route
+from vector_spark.operators.sample import sample_by_key
+from vector_spark.operators.throttle import throttle
+from vector_spark.operators.window import window_context
+
+
+class TopologyError(ValueError):
+    pass
+
+
+def _build_filter(df: DataFrame, cfg: dict) -> DataFrame:
+    return df.filter(F.coalesce(compile_condition(cfg["condition"]), F.lit(False)))
+
+
+def _build_remap_parse(df: DataFrame, cfg: dict) -> DataFrame:
+    return parse_all(df, text_col=cfg.get("text_col", "text"))
+
+
+def _build_route(df: DataFrame, cfg: dict) -> dict[str, DataFrame]:
+    conds = {name: compile_condition(c) for name, c in cfg["routes"].items()}
+    return route(df, conds, reroute_unmatched=cfg.get("reroute_unmatched", True))
+
+
+def _build_exclusive_route(df: DataFrame, cfg: dict) -> dict[str, DataFrame]:
+    conds = {name: compile_condition(c) for name, c in cfg["routes"].items()}
+    labeled = exclusive_route(df, conds)
+    out = {name: labeled.filter(F.col("route") == name).drop("route") for name in conds}
+    out[UNMATCHED] = labeled.filter(F.col("route") == UNMATCHED).drop("route")
+    return out
+
+
+def _build_dedupe(df: DataFrame, cfg: dict) -> DataFrame:
+    return dedupe(df, match=cfg["match"], order_by=cfg.get("order_by", ["ts", "conv_id", "turn_idx"]))
+
+
+def _build_sample(df: DataFrame, cfg: dict) -> DataFrame:
+    return sample_by_key(df, key=cfg["key_field"], rate=cfg["rate"])
+
+
+def _build_throttle(df: DataFrame, cfg: dict) -> DataFrame:
+    return throttle(df, key=cfg["key_field"], ts_col=cfg.get("ts_col", "ts"),
+                    window_secs=cfg["window_secs"], threshold=cfg["threshold"],
+                    order_by=cfg.get("order_by", ["ts", "conv_id", "turn_idx"]))
+
+
+def _build_window(df: DataFrame, cfg: dict) -> DataFrame:
+    return window_context(df, cfg.get("group_by", ["conv_id"]), cfg.get("order_col", "turn_idx"),
+                          compile_condition(cfg["flush_when"]),
+                          num_events_before=cfg.get("num_events_before", 2),
+                          num_events_after=cfg.get("num_events_after", 0))
+
+
+def _build_reduce(df: DataFrame, cfg: dict) -> DataFrame:
+    return reduce_events(df, group_by=cfg["group_by"],
+                         strategies=cfg.get("merge_strategies", {}),
+                         order_col=cfg.get("order_col", "turn_idx"))
+
+
+TRANSFORMS: dict[str, Callable] = {
+    "filter": _build_filter,
+    "remap_parse": _build_remap_parse,
+    "route": _build_route,
+    "exclusive_route": _build_exclusive_route,
+    "dedupe": _build_dedupe,
+    "sample": _build_sample,
+    "throttle": _build_throttle,
+    "window": _build_window,
+    "reduce": _build_reduce,
+}
+
+
+class Topology:
+    def __init__(self, spark: SparkSession, spec: dict):
+        self.spark = spark
+        self.spec = spec
+        self.sources: dict = spec.get("sources", {})
+        self.transforms: dict = spec.get("transforms", {})
+        self.sinks: dict = spec.get("sinks", {})
+        self._validate()
+        self._built: dict[str, DataFrame | dict[str, DataFrame]] = {}
+
+    # -- validation (the reference's compile stage) ---------------------
+    def _validate(self) -> None:
+        names = set(self.sources) | set(self.transforms) | set(self.sinks)
+        if len(names) != len(self.sources) + len(self.transforms) + len(self.sinks):
+            raise TopologyError("duplicate component names")
+        for comp, cfg in {**self.transforms, **self.sinks}.items():
+            for ref in cfg.get("inputs", []):
+                base = ref.split(".", 1)[0]
+                if base not in self.sources and base not in self.transforms:
+                    raise TopologyError(f"{comp}: unknown input {ref!r}")
+                if base in self.sinks:
+                    raise TopologyError(f"{comp}: cannot read from sink {ref!r}")
+        self._check_cycles()
+
+    def _check_cycles(self) -> None:
+        # DFS over transform edges (reference Graph::check_for_cycles,
+        # src/config/graph.rs:~280)
+        WHITE, GRAY, BLACK = 0, 1, 2
+        color = {n: WHITE for n in self.transforms}
+
+        def visit(n: str, stack: list[str]) -> None:
+            color[n] = GRAY
+            for ref in self.transforms[n].get("inputs", []):
+                base = ref.split(".", 1)[0]
+                if base in self.transforms:
+                    if color[base] == GRAY:
+                        raise TopologyError(f"cycle: {' -> '.join(stack + [n, base])}")
+                    if color[base] == WHITE:
+                        visit(base, stack + [n])
+            color[n] = BLACK
+
+        for n in list(self.transforms):
+            if color[n] == WHITE:
+                visit(n, [])
+
+    # -- build ----------------------------------------------------------
+    def _resolve(self, ref: str) -> DataFrame:
+        base, _, port = ref.partition(".")
+        node = self._component(base)
+        if port:
+            if not isinstance(node, dict):
+                raise TopologyError(f"{base!r} has no output ports (asked for {port!r})")
+            if port not in node:
+                raise TopologyError(f"{base!r} has no port {port!r}; ports: {sorted(node)}")
+            return node[port]
+        if isinstance(node, dict):
+            raise TopologyError(f"{base!r} is multi-port; pick one of {sorted(node)}")
+        return node
+
+    def _inputs(self, cfg: dict) -> DataFrame:
+        dfs = [self._resolve(r) for r in cfg["inputs"]]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+    def _component(self, name: str):
+        if name in self._built:
+            return self._built[name]
+        if name in self.sources:
+            cfg = self.sources[name]
+            if cfg["type"] == "parquet":
+                df = self.spark.read.parquet(cfg["path"])
+            elif cfg["type"] == "dataframe":  # test injection (unit-test source)
+                df = cfg["df"]
+            else:
+                raise TopologyError(f"unknown source type {cfg['type']!r}")
+        elif name in self.transforms:
+            cfg = self.transforms[name]
+            builder = TRANSFORMS.get(cfg["type"])
+            if builder is None:
+                raise TopologyError(f"unknown transform type {cfg['type']!r}")
+            df = builder(self._inputs(cfg), cfg)
+        else:
+            raise TopologyError(f"unknown component {name!r}")
+        self._built[name] = df
+        return df
+
+    def build(self) -> dict[str, DataFrame | dict[str, DataFrame]]:
+        for name in list(self.sources) + list(self.transforms):
+            self._component(name)
+        return dict(self._built)
+
+    # -- run ------------------------------------------------------------
+    def run(self, out_dir: str | None = None) -> dict[str, int]:
+        """Execute all sinks; returns per-sink row counts
+        (component_sent_events_total, reference docs/specs/component.md:223)."""
+        counts: dict[str, int] = {}
+        for name, cfg in self.sinks.items():
+            df = self._inputs(cfg)
+            kind = cfg.get("type", "noop")
+            if kind == "parquet":
+                path = cfg.get("path") or os.path.join(out_dir or ".", name)
+                df.write.mode("overwrite").parquet(path)
+                counts[name] = self.spark.read.parquet(path).count()
+            elif kind == "memory":
+                df.createOrReplaceTempView(cfg.get("view", name))
+                counts[name] = df.count()
+            elif kind == "noop":
+                counts[name] = df.count()
+            else:
+                raise TopologyError(f"unknown sink type {kind!r}")
+        return counts
+
+
+def build_topology(spark: SparkSession, spec: dict) -> Topology:
+    return Topology(spark, spec)
