@@ -1,0 +1,66 @@
+"""Memory enrichment table tests: merge/lookup/TTL/feedback loop
+(reference src/enrichment_tables/memory/ semantics)."""
+
+import os
+import sys
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vector_spark.operators.memory_table import MemoryTable  # noqa: E402
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return MemoryTable(spark, str(tmp_path / "mt"), key="tool",
+                       ttl_secs=3600, ts_col="updated_at")
+
+
+def test_merge_latest_per_key_and_lookup(spark, table):
+    v1 = table.merge(spark.createDataFrame(
+        [("bash", 1, ts("2026-01-01T00:00:00")), ("python", 7, ts("2026-01-01T00:00:00"))],
+        ["tool", "uses", "updated_at"]))
+    assert v1 == 0
+    # update bash: newer row wins
+    table.merge(spark.createDataFrame(
+        [("bash", 2, ts("2026-01-01T00:30:00"))], ["tool", "uses", "updated_at"]))
+    snap = {r.tool: r.uses for r in table.snapshot().collect()}
+    assert snap == {"bash": 2, "python": 7}
+
+    events = spark.createDataFrame(
+        [("e1", "bash", ts("2026-01-01T00:45:00")),
+         ("e2", "python", ts("2026-01-01T02:00:00")),   # >1h after python's update
+         ("e3", "editor", ts("2026-01-01T00:45:00"))],
+        ["event_id", "tool", "ts"])
+    out = {r.event_id: r.uses for r in table.lookup(events, on="tool", as_of="ts").collect()}
+    assert out["e1"] == 2        # fresh entry matches
+    assert out["e2"] is None     # TTL-expired entry does not match
+    assert out["e3"] is None     # unknown key
+
+
+def test_feedback_loop_batches(spark, table):
+    """Pipeline writes keys in batch 1; batch 2 lookups see them —
+    the sink+source feedback loop."""
+    batch1 = spark.createDataFrame(
+        [("bash", ts("2026-01-01T00:00:00")), ("bash", ts("2026-01-01T00:10:00")),
+         ("search", ts("2026-01-01T00:05:00"))], ["tool", "ts"])
+    counts = (batch1.groupBy("tool")
+              .agg(F.count("*").alias("n"), F.max("ts").alias("updated_at")))
+    table.merge(counts)
+
+    batch2 = spark.createDataFrame(
+        [("x", "bash", ts("2026-01-01T00:20:00")),
+         ("y", "search", ts("2026-01-01T00:21:00"))], ["event_id", "tool", "ts"])
+    seen = {r.event_id: r.n for r in table.lookup(batch2, on="tool", as_of="ts").collect()}
+    assert seen == {"x": 2, "y": 1}
+
+    # lookup before any snapshot exists is a no-op passthrough
+    empty = MemoryTable(spark, table.path + "_none", key="tool")
+    assert empty.lookup(batch2, on="tool").columns == batch2.columns

@@ -1,0 +1,74 @@
+"""line_agg mode tests mirroring the reference's line_agg semantics
+(reference src/line_agg.rs:24-66 and its in-module tests)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vector_spark.operators.multiline import line_agg_mode  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def lines(spark):
+    rows = [
+        ("s", 0, "ERROR boom"),
+        ("s", 1, "  at frame1"),
+        ("s", 2, "  at frame2"),
+        ("s", 3, "INFO ok"),
+        ("s", 4, "cmd one \\"),
+        ("s", 5, "cmd two \\"),
+        ("s", 6, "cmd done"),
+        ("s", 7, "plain"),
+    ]
+    return spark.createDataFrame(rows, ["stream", "idx", "line"])
+
+
+def _messages(df):
+    return [r.message for r in df.orderBy("msg_id").collect()]
+
+
+def test_continue_through_indented(spark, lines):
+    """Indented lines continue the previous message (traceback shape)."""
+    out = line_agg_mode(lines, ["stream"], "idx", "line",
+                        F.col("line").startswith("  "), "continue_through")
+    msgs = _messages(out)
+    assert "ERROR boom\n  at frame1\n  at frame2" in msgs
+    assert "INFO ok" in msgs
+    assert len(msgs) == 6
+
+
+def test_continue_past_backslash(spark, lines):
+    """A trailing backslash pulls the NEXT line into the same message."""
+    out = line_agg_mode(lines, ["stream"], "idx", "line",
+                        F.col("line").endswith("\\"), "continue_past")
+    msgs = _messages(out)
+    assert "cmd one \\\ncmd two \\\ncmd done" in msgs
+    assert "plain" in msgs
+
+
+def test_halt_before(spark, lines):
+    """Condition line starts a new message (exclusive)."""
+    out = line_agg_mode(lines, ["stream"], "idx", "line",
+                        F.col("line").startswith("cmd"), "halt_before")
+    msgs = _messages(out)
+    assert "ERROR boom\n  at frame1\n  at frame2\nINFO ok" in msgs
+    assert any(m.startswith("cmd one") and m.endswith("plain") is False for m in msgs)
+
+
+def test_halt_with(spark, lines):
+    """Condition line is the LAST of its message (inclusive)."""
+    out = line_agg_mode(lines, ["stream"], "idx", "line",
+                        F.col("line").startswith("INFO"), "halt_with")
+    msgs = _messages(out)
+    assert "ERROR boom\n  at frame1\n  at frame2\nINFO ok" in msgs
+    assert msgs[-1].endswith("plain")
+
+
+def test_unknown_mode_rejected(spark, lines):
+    with pytest.raises(ValueError):
+        line_agg_mode(lines, ["stream"], "idx", "line", F.lit(True), "bogus")

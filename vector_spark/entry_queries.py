@@ -278,6 +278,46 @@ def q_json_props(spark, sf_dir):
     return ev.select("event_id", F.from_json("props", "k int")["k"].alias("props_k"))
 
 
+def q_dedupe_ttl(spark, sf_dir):
+    from vector_spark.operators.dedupe import dedupe_ttl
+
+    df = dedupe_ttl(_transcripts(spark, sf_dir), match=["role", "tool"], ts_col="ts",
+                    ttl_secs=3600, order_by=["ts", "conv_id", "turn_idx"])
+    return df.select("conv_id", "turn_idx", "role", "tool")
+
+
+def q_agg_auto(spark, sf_dir):
+    """Auto mode (aggregate.rs:47-55): sum incremental series, latest for
+    absolute series, per (window, series)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "kind", F.when(F.col("event_type").isin("click", "purchase", "signup"),
+                       "incremental").otherwise("absolute"))
+    agg = aggregate_metrics(ev, series_cols=["event_type"], value_col="value",
+                            ts_col="ts", interval_secs=3600, modes=["auto"],
+                            order_col="event_id", kind_col="kind")
+    return agg.select("window_start", "event_type",
+                      F.round("agg_auto", 6).alias("agg_auto"))
+
+
+def q_vrl_funcs(spark, sf_dir):
+    """VRL stdlib surface over parsed apache rows: string ops, checksum,
+    IP conversion, redaction, timestamp conversion (functions/vrl.py)."""
+    from vector_spark.functions import vrl
+
+    p = _parsed(spark, sf_dir).filter(F.col("kind") == "apache_common")
+    return p.select(
+        "conv_id", "turn_idx",
+        vrl.downcase(vrl.upcase(F.col("method"))).alias("method_norm"),
+        vrl.sha2(F.col("text"), 256).alias("text_sha256"),
+        vrl.truncate(F.col("path"), 24, suffix="...").alias("path_short"),
+        vrl.ip_aton(F.col("ip")).alias("ip_num"),
+        vrl.ip_ntoa(vrl.ip_aton(F.col("ip"))).alias("ip_roundtrip"),
+        vrl.redact(F.col("http_user"), [r"[aeiou]"], "*").alias("user_redacted"),
+        vrl.to_unix_timestamp(F.col("log_ts")).alias("log_epoch"),
+        vrl.strlen(F.col("path")).cast("long").alias("path_len"),
+    )
+
+
 def q_remap_dropped(spark, sf_dir):
     """reroute_dropped semantics: unparseable (freeform) lines land on the
     annotated `dropped` port (reference remap.rs:497-557)."""
@@ -432,6 +472,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_to_absolute": q_inc_to_abs,
     "tag_cardinality_limit": q_cardinality,
     "parse_json_props": q_json_props,
+    "dedupe_ttl": q_dedupe_ttl,
+    "agg_auto": q_agg_auto,
+    "vrl_string_funcs": q_vrl_funcs,
     "remap_dropped_port": q_remap_dropped,
     "sample_ratio": q_sample_ratio,
     "text_token_counts": q_text_token_counts,
@@ -648,6 +691,45 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
     o["parse_json_props"] = """SELECT event_id,
              CAST(json_extract(props, '$.k') AS INTEGER) AS props_k
       FROM events"""
+
+    o["dedupe_ttl"] = f"""WITH t AS (SELECT * FROM read_parquet('{tp}')),
+      r AS (SELECT conv_id, turn_idx, role, tool,
+                   row_number() OVER (PARTITION BY role, tool, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                                      ORDER BY ts, conv_id, turn_idx) AS rn
+            FROM t)
+      SELECT conv_id, turn_idx, role, tool FROM r WHERE rn = 1"""
+
+    o["agg_auto"] = """WITH base AS (
+        SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+               event_type, ts, event_id, value,
+               CASE WHEN event_type IN ('click', 'purchase', 'signup')
+                    THEN 'incremental' ELSE 'absolute' END AS kind
+        FROM events),
+      s AS (SELECT window_start, event_type, kind, sum(value) AS vsum
+            FROM base GROUP BY 1, 2, 3),
+      l AS (SELECT window_start, event_type, value AS vlast,
+                   row_number() OVER (PARTITION BY window_start, event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM base)
+      SELECT s.window_start, s.event_type,
+             round(CASE WHEN s.kind = 'incremental' THEN s.vsum ELSE l.vlast END, 6) AS agg_auto
+      FROM s JOIN l ON s.window_start = l.window_start
+                   AND s.event_type = l.event_type AND l.rn = 1"""
+
+    o["vrl_string_funcs"] = f"""WITH {P}
+      SELECT conv_id, turn_idx,
+             lower(upper(method)) AS method_norm,
+             sha256(text) AS text_sha256,
+             CASE WHEN length(path) > 24 THEN substr(path, 1, 24) || '...' ELSE path END AS path_short,
+             CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+               + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+               + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+               + CAST(string_split(ip, '.')[4] AS BIGINT) AS ip_num,
+             ip AS ip_roundtrip,
+             regexp_replace(http_user, '[aeiou]', '*', 'g') AS user_redacted,
+             CAST(epoch(log_ts) AS BIGINT) AS log_epoch,
+             CAST(length(path) AS BIGINT) AS path_len
+      FROM parsed WHERE kind = 'apache_common'"""
 
     o["remap_dropped_port"] = f"""WITH {P}
       SELECT conv_id, turn_idx,

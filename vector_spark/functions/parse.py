@@ -47,35 +47,59 @@ def _grp(text: Column, pattern: str, idx: int) -> Column:
     return F.nullif(F.regexp_extract(text, pattern, idx), F.lit(""))
 
 
+# Single-pass group extraction: one regexp_replace rewrites the matched
+# line to all groups joined by \x01, then one split yields every field —
+# 1 regex application instead of N regexp_extract re-matches. ~4x less
+# regex work per row in the hot parse path (the reference's own slowest
+# case is regex parsing, README.md:87). Assumes \x01 never occurs in
+# input lines (true for any sane log text).
+_SEP = "\x01"
+
+
+def _grp_all(text: Column, pattern: str, n_groups: int) -> list[Column]:
+    repl = _SEP.join(f"${i}" for i in range(1, n_groups + 1))
+    arr = F.split(F.regexp_replace(text, pattern, repl), _SEP)
+    return [F.nullif(arr[i], F.lit("")) for i in range(n_groups)]
+
+
+def _grp_arr(text: Column, pattern: str, n_groups: int) -> Column:
+    """All groups of one anchored match as an array (one regex pass),
+    '' normalized to NULL."""
+    repl = _SEP.join(f"${i}" for i in range(1, n_groups + 1))
+    arr = F.split(F.regexp_replace(text, pattern, repl), _SEP)
+    return F.transform(arr, lambda x: F.nullif(x, F.lit("")))
+
+
 def parse_apache(text: Column) -> dict[str, Column]:
-    """VRL parse_apache_log("common") -> named fields."""
-    raw_ts = _grp(text, APACHE_RE, 4)
+    """VRL parse_apache_log("common") -> named fields (single regex pass)."""
+    g = _grp_all(text, APACHE_RE, 9)
     return {
-        "ip": _grp(text, APACHE_RE, 1),
-        "http_user": _grp(text, APACHE_RE, 3),
-        "method": _grp(text, APACHE_RE, 5),
-        "path": _grp(text, APACHE_RE, 6),
-        "proto": _grp(text, APACHE_RE, 7),
-        "status": _grp(text, APACHE_RE, 8).cast("int"),
-        "bytes": _grp(text, APACHE_RE, 9).cast("long"),
+        "ip": g[0],
+        "http_user": g[2],
+        "method": g[4],
+        "path": g[5],
+        "proto": g[6],
+        "status": g[7].cast("int"),
+        "bytes": g[8].cast("long"),
         # fixture always emits +0000; strip the zone and parse in session TZ (UTC)
         "log_ts": F.to_timestamp(
-            F.regexp_replace(raw_ts, r" \+0000$", ""), "dd/MMM/yyyy:HH:mm:ss"
+            F.regexp_replace(g[3], r" \+0000$", ""), "dd/MMM/yyyy:HH:mm:ss"
         ),
     }
 
 
 def parse_syslog(text: Column) -> dict[str, Column]:
     """VRL parse_syslog (RFC5424, nil structured-data) -> named fields."""
+    g = _grp_all(text, SYSLOG_RE, 8)
     return {
-        "pri": _grp(text, SYSLOG_RE, 1).cast("int"),
-        "version": _grp(text, SYSLOG_RE, 2).cast("int"),
-        "syslog_ts": _grp(text, SYSLOG_RE, 3),
-        "hostname": _grp(text, SYSLOG_RE, 4),
-        "appname": _grp(text, SYSLOG_RE, 5),
-        "procid": _grp(text, SYSLOG_RE, 6).cast("int"),
-        "msgid": _grp(text, SYSLOG_RE, 7),
-        "message": _grp(text, SYSLOG_RE, 8),
+        "pri": g[0].cast("int"),
+        "version": g[1].cast("int"),
+        "syslog_ts": g[2],
+        "hostname": g[3],
+        "appname": g[4],
+        "procid": g[5].cast("int"),
+        "msgid": g[6],
+        "message": g[7],
     }
 
 
@@ -93,11 +117,12 @@ def parse_json_line(text: Column) -> dict[str, Column]:
 
 def parse_logfmt(text: Column) -> dict[str, Column]:
     """VRL parse_key_value / parse_logfmt -> named fields."""
+    g = _grp_all(text, LOGFMT_RE, 4)
     return {
-        "level": _grp(text, LOGFMT_RE, 1),
-        "code": _grp(text, LOGFMT_RE, 2),
-        "msg": _grp(text, LOGFMT_RE, 3),
-        "attempt": _grp(text, LOGFMT_RE, 4).cast("int"),
+        "level": g[0],
+        "code": g[1],
+        "msg": g[2],
+        "attempt": g[3].cast("int"),
     }
 
 
@@ -112,23 +137,57 @@ def parse_logfmt_map(text: Column) -> Column:
 def parse_all(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Full remap-style parse stage: classify + extract per-format fields.
 
-    One projection, all JVM-side. Unified convenience columns:
-    ``status`` (apache or json), ``sev_level`` (logfmt level or syslog
-    severity class).
+    Two stacked projections, all JVM-side:
+    1. classify + ONE guarded regex pass per format materialized as a
+       group array (``_grp_all``) / parsed struct — each regex runs at
+       most once per row;
+    2. cheap per-field array/struct element picks.
+    Catalyst keeps the split because CollapseProject refuses to inline a
+    non-cheap alias referenced many times.
     """
     t = F.col(text_col)
     kind = classify(t)
-    cols: dict[str, Column] = {"kind": kind}
-    ap = parse_apache(t)
-    sl = parse_syslog(t)
-    js = parse_json_line(t)
-    lf = parse_logfmt(t)
-    guard = {
-        "apache_common": ap, "syslog5424": sl, "json": js, "logfmt": lf,
+    stage1 = {
+        "kind": kind,
+        # guarded single-pass group arrays (null for other kinds)
+        "__ap": F.when(kind == "apache_common", _grp_arr(t, APACHE_RE, 9)),
+        "__sl": F.when(kind == "syslog5424", _grp_arr(t, SYSLOG_RE, 8)),
+        "__lf": F.when(kind == "logfmt", _grp_arr(t, LOGFMT_RE, 4)),
+        "__js": F.when(kind == "json", F.from_json(t, JSON_SCHEMA)),
     }
-    for k, fields in guard.items():
-        for name, col in fields.items():
-            cols[name] = F.when(kind == k, col)
-    # unified fields used by routing conditions
-    cols["status_any"] = F.coalesce(cols["status"], cols["json_status"])
-    return df.withColumns(cols)
+    out = df.withColumns(stage1)
+
+    ap, sl, lf, js = F.col("__ap"), F.col("__sl"), F.col("__lf"), F.col("__js")
+    cols: dict[str, Column] = {
+        "ip": ap[0],
+        "http_user": ap[2],
+        "method": ap[4],
+        "path": ap[5],
+        "proto": ap[6],
+        "status": ap[7].cast("int"),
+        "bytes": ap[8].cast("long"),
+        # fixture always emits +0000; strip the zone, parse in session TZ (UTC)
+        "log_ts": F.to_timestamp(
+            F.regexp_replace(ap[3], r" \+0000$", ""), "dd/MMM/yyyy:HH:mm:ss"),
+        "pri": sl[0].cast("int"),
+        "version": sl[1].cast("int"),
+        "syslog_ts": sl[2],
+        "hostname": sl[3],
+        "appname": sl[4],
+        "procid": sl[5].cast("int"),
+        "msgid": sl[6],
+        "message": sl[7],
+        "json_method": js["method"],
+        "json_path": js["path"],
+        "json_status": js["status"],
+        "duration_ms": js["duration_ms"],
+        "json_user": js["user"],
+        "level": lf[0],
+        "code": lf[1],
+        "msg": lf[2],
+        "attempt": lf[3].cast("int"),
+    }
+    out = out.withColumns(cols)
+    return out.withColumn(
+        "status_any", F.coalesce(F.col("status"), F.col("json_status"))
+    ).drop("__ap", "__sl", "__lf", "__js")

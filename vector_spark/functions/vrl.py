@@ -1,0 +1,205 @@
+"""VRL stdlib surface -> native Spark column functions.
+
+The reference ships 203 VRL functions (website/cue/reference/remap/
+functions/, SURVEY.md §2.8). This module exposes the load-bearing subset
+under their VRL names so a remap program written against the reference
+translates term-for-term. Every function returns a pyspark Column built
+from JVM-side builtins — no Python in the hot path. Parse-family
+functions live in functions/parse.py.
+
+Excluded by design: random_* / uuid_v4 (non-deterministic — banned from
+correctness-checked paths), get_env_var/system (driver-side), log/assert
+(telemetry), enrichment functions (operators/enrich.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.lit(x)
+
+
+# -- String (upcase.cue, downcase.cue, truncate.cue, ...) ---------------
+
+def upcase(c) -> Column:
+    return F.upper(_c(c))
+
+
+def downcase(c) -> Column:
+    return F.lower(_c(c))
+
+
+def strip_whitespace(c) -> Column:
+    return F.trim(_c(c))
+
+
+def truncate(c, limit: int, suffix: str = "") -> Column:
+    """truncate.cue: cut to `limit` chars, appending suffix only if cut."""
+    base = F.substring(_c(c), 1, limit)
+    if suffix:
+        return F.when(F.length(_c(c)) > limit, F.concat(base, F.lit(suffix))).otherwise(_c(c))
+    return F.when(F.length(_c(c)) > limit, base).otherwise(_c(c))
+
+
+def replace(c, pattern: str, replacement: str) -> Column:
+    return F.regexp_replace(_c(c), pattern, replacement)
+
+
+def split(c, sep: str, limit: int = -1) -> Column:
+    return F.split(_c(c), sep, limit)
+
+
+def join(c, sep: str) -> Column:
+    return F.concat_ws(sep, _c(c))
+
+
+def starts_with(c, prefix) -> Column:
+    return _c(c).startswith(prefix)
+
+
+def ends_with(c, suffix) -> Column:
+    return _c(c).endswith(suffix)
+
+
+def contains(c, sub) -> Column:
+    return _c(c).contains(sub)
+
+
+def slice_(c, start: int, end: int | None = None) -> Column:
+    length = (end - start) if end is not None else (1 << 30)
+    return F.substring(_c(c), start + 1, length)  # VRL slices are 0-based
+
+
+def strlen(c) -> Column:
+    return F.length(_c(c))
+
+
+def redact(c, patterns: list[str], replacement: str = "[REDACTED]") -> Column:
+    """redact.cue: replace every match of every pattern."""
+    out = _c(c)
+    for p in patterns:
+        out = F.regexp_replace(out, p, replacement)
+    return out
+
+
+# -- Checksums / crypto (sha1.cue, sha2.cue, md5.cue, ...) --------------
+
+def md5(c) -> Column:
+    return F.md5(_c(c))
+
+
+def sha1(c) -> Column:
+    return F.sha1(_c(c))
+
+
+def sha2(c, variant: int = 256) -> Column:
+    return F.sha2(_c(c), variant)
+
+
+def crc32(c) -> Column:
+    return F.crc32(_c(c).cast("binary"))
+
+
+def xxhash(c) -> Column:
+    """seahash/xxhash stand-in: Spark's native 64-bit hash."""
+    return F.xxhash64(_c(c))
+
+
+# -- Coerce / Convert (to_int.cue, to_float.cue, ...) -------------------
+
+def to_int(c) -> Column:
+    return _c(c).cast("long")
+
+
+def to_float(c) -> Column:
+    return _c(c).cast("double")
+
+
+def to_bool(c) -> Column:
+    return _c(c).cast("boolean")
+
+
+def to_string(c) -> Column:
+    return _c(c).cast("string")
+
+
+# -- Timestamp (parse_timestamp.cue, format_timestamp.cue, ...) ---------
+
+def parse_timestamp(c, fmt: str) -> Column:
+    return F.to_timestamp(_c(c), fmt)
+
+
+def format_timestamp(c, fmt: str) -> Column:
+    return F.date_format(_c(c), fmt)
+
+
+def to_unix_timestamp(c) -> Column:
+    return F.unix_timestamp(_c(c))
+
+
+def from_unix_timestamp(c) -> Column:
+    return F.timestamp_seconds(_c(c))
+
+
+# -- Object / path ops (merge.cue, del.cue, exists.cue, unnest.cue) -----
+
+def merge(struct_col, **fields) -> Column:
+    """merge.cue over a struct column: add/overwrite fields."""
+    out = _c(struct_col)
+    for name, val in fields.items():
+        out = out.withField(name, _c(val))
+    return out
+
+
+def del_(struct_col, *names: str) -> Column:
+    return _c(struct_col).dropFields(*names)
+
+
+def exists(c) -> Column:
+    return _c(c).isNotNull()
+
+
+def unnest(df, col: str):
+    """unnest.cue ≙ explode: one row per array element (UDTF surface)."""
+    return df.withColumn(col, F.explode(F.col(col)))
+
+
+# -- Enumerate / higher-order (for_each.cue, map_values.cue, filter.cue)
+
+def map_values(arr, fn) -> Column:
+    return F.transform(_c(arr), fn)
+
+
+def filter_(arr, fn) -> Column:
+    return F.filter(_c(arr), fn)
+
+
+def flatten(arr) -> Column:
+    return F.flatten(_c(arr))
+
+
+def unique(arr) -> Column:
+    return F.array_distinct(_c(arr))
+
+
+# -- IP (ip_aton.cue / ip_ntoa.cue subset) ------------------------------
+
+def ip_aton(c) -> Column:
+    """Dotted-quad IPv4 -> numeric (pure arithmetic, both-engine safe)."""
+    parts = F.split(_c(c), r"\.")
+    return (parts[0].cast("long") * 16777216 + parts[1].cast("long") * 65536
+            + parts[2].cast("long") * 256 + parts[3].cast("long"))
+
+
+def ip_ntoa(c) -> Column:
+    n = _c(c).cast("long")
+    return F.concat_ws(
+        ".",
+        (n / 16777216).cast("long") % 256,
+        (n / 65536).cast("long") % 256,
+        (n / 256).cast("long") % 256,
+        n % 256,
+    )

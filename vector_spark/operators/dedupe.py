@@ -29,6 +29,21 @@ def dedupe(df: DataFrame, match: list[str], order_by: list[str]) -> DataFrame:
     )
 
 
+def dedupe_ttl(df: DataFrame, match: list[str], ts_col: str, ttl_secs: int,
+               order_by: list[str]) -> DataFrame:
+    """TTL variant (reference TimedDedupe, dedupe/config.rs:52-65): a key
+    suppresses duplicates only within a TTL window — first occurrence per
+    (key, tumbling ttl window) survives. Event-time reinterpretation of
+    the reference's wall-clock cache expiry (documented delta)."""
+    win = F.floor(F.unix_timestamp(F.col(ts_col)) / ttl_secs)
+    w = Window.partitionBy(*match, win).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def dedupe_exact(df: DataFrame, match: list[str]) -> DataFrame:
     """Order-free exact dedupe (keeps an arbitrary representative) — the
     cheap path when any representative is acceptable: map-side combine via

@@ -1,0 +1,90 @@
+"""Memory enrichment table: a writable KV table that is simultaneously a
+sink and a lookup source (reference: src/enrichment_tables/memory/,
+config.rs:27 — the pipeline writes keys, later events look them up,
+entries expire after a TTL).
+
+Spark mapping: a small versioned parquet snapshot. Writers MERGE a batch
+of updates (latest-per-key wins) into a new snapshot version and flip a
+CURRENT pointer file atomically (tmp+rename, the reference checkpointer
+pattern); readers load CURRENT and broadcast-join it. In streaming, each
+``foreachBatch`` merges then re-reads — the per-batch re-broadcast the
+SURVEY maps this table to. TTL is event-time: entries older than
+``ttl_secs`` at lookup time don't match.
+
+Scale note: the table is small by contract (an enrichment table), so the
+merge is a driver-coordinated small-job and lookups stay broadcast hash
+joins — the 100 TB fact side never shuffles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class MemoryTable:
+    def __init__(self, spark: SparkSession, path: str, key: str,
+                 ttl_secs: int | None = None, ts_col: str = "updated_at"):
+        self.spark = spark
+        self.path = path
+        self.key = key
+        self.ttl_secs = ttl_secs
+        self.ts_col = ts_col
+        os.makedirs(path, exist_ok=True)
+
+    # -- snapshot pointer ----------------------------------------------
+    def _current_file(self) -> str:
+        return os.path.join(self.path, "CURRENT")
+
+    def _current_version(self) -> int:
+        try:
+            with open(self._current_file()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def _snapshot_dir(self, version: int) -> str:
+        return os.path.join(self.path, f"v{version:06d}")
+
+    def snapshot(self) -> DataFrame | None:
+        v = self._current_version()
+        if v < 0:
+            return None
+        return self.spark.read.parquet(self._snapshot_dir(v))
+
+    # -- write side (the "sink" role) ----------------------------------
+    def merge(self, updates: DataFrame) -> int:
+        """Latest-per-key merge of ``updates`` (must carry key + ts_col)
+        into a new snapshot; returns the new version."""
+        cur = self.snapshot()
+        merged = updates if cur is None else cur.unionByName(updates, allowMissingColumns=True)
+        w = Window.partitionBy(self.key).orderBy(F.desc(self.ts_col))
+        latest = (merged.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1).drop("__rn"))
+        v = self._current_version() + 1
+        latest.coalesce(1).write.mode("overwrite").parquet(self._snapshot_dir(v))
+        tmp = self._current_file() + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._current_file())  # atomic pointer flip
+        return v
+
+    # -- read side (the lookup role) -----------------------------------
+    def lookup(self, df: DataFrame, on: str, as_of: str | None = None,
+               how: str = "left") -> DataFrame:
+        """Broadcast-join current snapshot onto ``df`` (df.on == table.key);
+        TTL-expired entries don't match. ``as_of`` is an event-time column
+        of df for expiry (defaults to now-less semantics: no filter)."""
+        table = self.snapshot()
+        if table is None:
+            return df
+        renamed = table.withColumnRenamed(self.key, "__mt_key")
+        cond = df[on] == renamed["__mt_key"]
+        if self.ttl_secs is not None and as_of is not None:
+            cond = cond & (
+                F.unix_timestamp(df[as_of]) - F.unix_timestamp(renamed[self.ts_col])
+                <= self.ttl_secs)
+        out = df.join(F.broadcast(renamed), cond, how)
+        return out.drop("__mt_key")

@@ -17,6 +17,50 @@ from pyspark.sql import functions as F
 from vector_spark.operators.reduce import _ordered_list
 
 
+def line_agg_mode(
+    df: DataFrame, group_by: list[str], order_col: str, text_col: str,
+    condition: Column, mode: str, joiner: str = "\n",
+) -> DataFrame:
+    """The reference's four aggregation modes (line_agg.rs:24-66) as
+    lag-marker + cumsum sessionization:
+
+    - continue_through: lines matching ``condition`` continue the current
+      message (tracebacks); a non-matching line starts a new one.
+    - continue_past: a matching line means "the NEXT line still belongs"
+      (trailing backslash); a new message starts after a non-matching line.
+    - halt_before: a matching line starts a new message (exclusive halt).
+    - halt_with: a matching line is the LAST of its message; the next
+      line starts a new one.
+    """
+    w = Window.partitionBy(*group_by).orderBy(order_col)
+    cond = F.coalesce(condition, F.lit(False))
+    if mode == "continue_through":
+        new_msg = ~cond
+    elif mode == "continue_past":
+        new_msg = ~F.coalesce(F.lag(cond).over(w), F.lit(False))
+    elif mode == "halt_before":
+        new_msg = cond
+    elif mode == "halt_with":
+        new_msg = F.coalesce(F.lag(cond).over(w), F.lit(True))
+    else:
+        raise ValueError(f"unknown line_agg mode {mode!r}")
+    marker = F.when(new_msg, 1).otherwise(0)
+    # first line of a group always opens a message
+    first = F.row_number().over(w) == 1
+    marker = F.when(first, 1).otherwise(marker)
+    msg_id = F.sum(marker).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    out = df.withColumn("__msg", msg_id)
+    return (
+        out.groupBy(*group_by, F.col("__msg").alias("msg_id"))
+        .agg(
+            F.array_join(_ordered_list(F.col(text_col), F.col(order_col)), joiner).alias("message"),
+            F.min(order_col).alias("first_" + order_col),
+            F.max(order_col).alias("last_" + order_col),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def line_agg(
     df: DataFrame, group_by: list[str], order_col: str, text_col: str,
     is_start: Column, joiner: str = "\n",

@@ -56,10 +56,22 @@ def route_flags(df: DataFrame, conditions: dict[str, Column], reroute_unmatched:
 
 def route_exploded(df: DataFrame, conditions: dict[str, Column], reroute_unmatched: bool = True) -> DataFrame:
     """Non-exclusive route as one-row-per-(event, matched route) — the
-    duplication semantics materialized, single scan."""
-    return route_flags(df, conditions, reroute_unmatched).withColumn(
-        "route", F.explode("routes")
+    duplication semantics materialized, single scan.
+
+    Uses explode_outer deliberately: plain explode makes Catalyst infer a
+    ``size(routes) > 0`` filter (InferFiltersFromGenerate) and push it
+    into the scan, re-inlining the entire parse + condition tree a second
+    time per row (~2x the whole parse cost). With the ``_unmatched``
+    fallback the array is never empty, so outer semantics are identical;
+    without the fallback, empty-array rows surface as NULL route and are
+    dropped by a cheap post-Generate filter instead.
+    """
+    out = route_flags(df, conditions, reroute_unmatched).withColumn(
+        "route", F.explode_outer("routes")
     ).drop("routes")
+    if not reroute_unmatched:
+        out = out.where(F.col("route").isNotNull())
+    return out
 
 
 def exclusive_route(df: DataFrame, conditions: dict[str, Column], unmatched: str = UNMATCHED) -> DataFrame:

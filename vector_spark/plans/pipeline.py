@@ -26,9 +26,11 @@ def load_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(ensure_transcripts(sf))
 
 
-def parsed_enriched(spark: SparkSession, sf: str, case_sensitive_tools: bool = True) -> DataFrame:
-    """scan -> parse (remap) -> enrich (tool equals-join, role range-join)."""
-    df = parse_all(load_transcripts(spark, sf))
+def parsed_enriched_df(spark: SparkSession, transcripts: DataFrame,
+                       case_sensitive_tools: bool = True) -> DataFrame:
+    """parse (remap) -> enrich (tool equals-join, role range-join) over an
+    already-loaded transcripts DataFrame (batch or streaming)."""
+    df = parse_all(transcripts)
     tool_meta = spark.read.parquet(ensure_tool_meta())
     role_meta = spark.read.parquet(ensure_role_meta())
     df = enrich_equals(df, tool_meta, on="tool", case_sensitive=case_sensitive_tools)
@@ -36,9 +38,28 @@ def parsed_enriched(spark: SparkSession, sf: str, case_sensitive_tools: bool = T
     return df
 
 
+def parsed_enriched(spark: SparkSession, sf: str, case_sensitive_tools: bool = True) -> DataFrame:
+    """scan -> parse (remap) -> enrich (tool equals-join, role range-join)."""
+    return parsed_enriched_df(spark, load_transcripts(spark, sf), case_sensitive_tools)
+
+
 def routed(spark: SparkSession, sf: str) -> DataFrame:
     """Non-exclusive route materialized as (event x matched-route) rows."""
     return route_exploded(parsed_enriched(spark, sf), flagship_conditions())
+
+
+def sink_counts_df(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
+    """Per-sink aggregate counts over a provided transcripts DataFrame."""
+    return (
+        route_exploded(parsed_enriched_df(spark, transcripts), flagship_conditions())
+        .groupBy("route")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.sum("bytes").alias("sum_bytes"),
+            F.sum(F.col("status_any").cast("long")).alias("sum_status"),
+        )
+    )
 
 
 def sink_counts(spark: SparkSession, sf: str) -> DataFrame:

@@ -1,0 +1,68 @@
+"""Iceberg-first table IO with parquet fallback.
+
+The north star prescribes the transcripts input as an Iceberg table. In
+production this module reads/writes through an Iceberg catalog (partition
+pruning, snapshot isolation, idempotent overwrite-by-partition — the
+delivery guarantees SURVEY.md §1.5 maps onto). The sandbox container has
+no Iceberg runtime jar, so every entry point degrades gracefully to
+plain parquet with the same call shape; the choice is logged once.
+
+At 100 TB the table would be partitioned by ``days(ts)`` with conv_id
+bucketing (``bucket(N, conv_id)``) so per-conversation operators read
+co-located files and time filters prune partitions at plan time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_warned = False
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.source.IcebergSource")
+        return True
+    except Exception:
+        return False
+
+
+def _note_fallback() -> None:
+    global _warned
+    if not _warned:
+        _warned = True
+        import logging
+
+        logging.getLogger(__name__).info(
+            "Iceberg runtime not on the classpath; using parquet fallback")
+
+
+def read_table(spark: SparkSession, path_or_table: str) -> DataFrame:
+    """Read an Iceberg table (catalog name or path), else parquet path."""
+    if iceberg_available(spark) and not path_or_table.endswith(".parquet"):
+        return spark.read.format("iceberg").load(path_or_table)
+    _note_fallback()
+    return spark.read.parquet(path_or_table)
+
+
+def write_table(df: DataFrame, path_or_table: str, mode: str = "overwrite",
+                partition_by: list[str] | None = None) -> None:
+    """Write with Iceberg (transactional, overwrite-by-filter) when
+    available, else parquet directory semantics."""
+    spark = df.sparkSession
+    if iceberg_available(spark) and not path_or_table.endswith(".parquet"):
+        writer = df.writeTo(path_or_table)
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return
+    _note_fallback()
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path_or_table)

@@ -178,6 +178,9 @@ def ensure_transcripts(sf: str, fixture_dir: str = FIXTURE_DIR) -> str:
     if not os.path.exists(path):
         tbl = generate_transcripts(N_TURNS[label])
         tmp = path + f".tmp-{os.getpid()}"
-        pq.write_table(tbl, tmp, row_group_size=64 * 1024)
+        # small row groups => many scan splits => full-core parallelism
+        # even on a single local file (a real 100TB table has thousands
+        # of files; this reproduces that split granularity)
+        pq.write_table(tbl, tmp, row_group_size=16 * 1024)
         os.replace(tmp, path)  # atomic
     return path
