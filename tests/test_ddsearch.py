@@ -1,0 +1,80 @@
+"""datadog_search condition compiler tests (reference:
+src/conditions/datadog_search.rs registered at src/conditions/mod.rs:26-51).
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.functions.ddsearch import compile_ddsearch
+
+TS = datetime.datetime(2024, 3, 5, 12, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(1, "error: disk full", "assistant", 500, "web-1"),
+         (2, "all good", "user", 200, "web-2"),
+         (3, "error: timeout", "tool", 504, None),
+         (4, "warning", "assistant", 301, "api-1")],
+        ["id", "text", "role", "status", "host"])
+
+
+def _ids(df, q, default="text"):
+    return sorted(r["id"] for r in df.filter(compile_ddsearch(q, default)).collect())
+
+
+def test_field_equality(df):
+    assert _ids(df, "role:assistant") == [1, 4]
+    assert _ids(df, 'role:"assistant"') == [1, 4]
+
+
+def test_numeric_and_range(df):
+    assert _ids(df, "status:>=500") == [1, 3]
+    assert _ids(df, "status:[200 TO 301]") == [2, 4]
+    assert _ids(df, "status:200") == [2]
+
+
+def test_wildcard(df):
+    assert _ids(df, "host:web*") == [1, 2]
+    assert _ids(df, "host:api-?") == [4]
+
+
+def test_bare_term_searches_default_field(df):
+    assert _ids(df, "error") == [1, 3]
+    assert _ids(df, '"disk full"') == [1]
+
+
+def test_boolean_operators(df):
+    assert _ids(df, "role:assistant AND status:>400") == [1]
+    assert _ids(df, "role:tool OR role:user") == [2, 3]
+    assert _ids(df, "NOT role:assistant") == [2, 3]
+    assert _ids(df, "-role:assistant") == [2, 3]
+    assert _ids(df, "(role:assistant OR role:tool) AND error") == [1, 3]
+
+
+def test_implicit_and(df):
+    # adjacent terms AND together (Datadog default)
+    assert _ids(df, "error status:>=500") == [1, 3]
+    assert _ids(df, "error role:assistant") == [1]
+
+
+def test_exists_missing(df):
+    assert _ids(df, "_exists_:host") == [1, 2, 4]
+    assert _ids(df, "_missing_:host") == [3]
+
+
+def test_null_field_not_matched(df):
+    # NULL host: neither positive...
+    assert 3 not in _ids(df, "host:web*")
+    # ...nor naive negation (SQL three-valued logic, like facet behavior)
+    assert _ids(df, "NOT host:web-1") == [2, 4]
+
+
+def test_parse_errors(df):
+    with pytest.raises(ValueError):
+        compile_ddsearch("(role:assistant")
+    with pytest.raises(ValueError):
+        compile_ddsearch("")

@@ -1,0 +1,101 @@
+"""Grok compiler tests: compile-time semantics + Spark extraction vs a
+pure-`re` oracle and the DuckDB oracle SQL.
+
+Reference semantics: VRL parse_grok / parse_groks
+(website/cue/reference/remap/functions/parse_grok.cue:1-50).
+"""
+
+import re
+
+import pytest
+
+from tests.conftest import assert_df_equal
+from vector_spark.entry_queries import QUERIES, oracle_sql_for
+from vector_spark.functions.grok import (
+    CompiledGrok, compile_grok, parse_grok, parse_groks,
+)
+from vector_spark.sources.transcripts import ensure_transcripts
+
+SF = "sf0.001"
+
+APACHE_LINE = ('93.184.216.34 - alice [10/Oct/2000:13:55:36 +0000] '
+               '"GET /index.html HTTP/1.0" 200 2326')
+SYSLOG_LINE = "<34>1 2003-10-11T22:14:15.003Z host app 111 ID47 - hi there"
+
+
+def test_compile_fields_and_casts():
+    c = compile_grok("%{IP:client} %{WORD:verb} %{POSINT:code:int}")
+    assert c.fields == ("client", "verb", "code")
+    assert c.casts == (None, None, "long")
+    m = re.match(c.regex, "1.2.3.4 GET 200")
+    assert m and m.groups() == ("1.2.3.4", "GET", "200")
+
+
+def test_compile_composite_exposes_nested_fields():
+    # unnamed splice of a composite keeps nested captures (logstash-style)
+    c = compile_grok("%{COMMONAPACHELOG}")
+    assert c.fields == ("clientip", "ident", "auth", "timestamp", "verb",
+                        "request", "httpversion", "response", "bytes")
+    m = re.match(c.regex, APACHE_LINE)
+    assert m and m.group(1) == "93.184.216.34" and m.group(8) == "200"
+
+
+def test_compile_named_composite_captures_whole():
+    # a NAMED composite is one capture; nested fields are suppressed
+    c = compile_grok("%{COMMONAPACHELOG:line}")
+    assert c.fields == ("line",)
+    assert re.match(c.regex, APACHE_LINE).group(1) == APACHE_LINE
+
+
+def test_compile_errors():
+    with pytest.raises(ValueError, match="unknown grok pattern"):
+        compile_grok("%{NOPE:x}")
+    with pytest.raises(ValueError, match="unsupported grok cast"):
+        compile_grok("%{INT:x:decimal}")
+    with pytest.raises(ValueError, match="captures no fields"):
+        compile_grok("%{INT} %{WORD}")
+
+
+def test_parse_grok_spark_matches_re(spark):
+    rows = [APACHE_LINE, "garbage", SYSLOG_LINE,
+            '10.0.0.1 - - [01/Jan/2024:00:00:00 +0000] "POST /x HTTP/1.1" 503 0']
+    df = spark.createDataFrame([(r,) for r in rows], ["text"])
+    got = {r["text"]: r for r in parse_grok(df, "%{COMMONAPACHELOG}").collect()}
+    c = compile_grok("%{COMMONAPACHELOG}")
+    for line in rows:
+        m = re.match(c.regex, line)
+        if m:
+            assert got[line]["clientip"] == m.group(1)
+            assert got[line]["response"] == int(m.group(8))
+            assert got[line]["bytes"] == int(m.group(9))
+        else:
+            assert got[line]["clientip"] is None
+            assert got[line]["response"] is None
+
+
+def test_parse_groks_first_match_wins(spark):
+    df = spark.createDataFrame(
+        [(APACHE_LINE,), (SYSLOG_LINE,), ("nope",)], ["text"])
+    out = {r["text"]: r for r in parse_groks(
+        df, ["%{COMMONAPACHELOG}", "%{SYSLOG5424LINE}"]).collect()}
+    assert out[APACHE_LINE]["clientip"] == "93.184.216.34"
+    assert out[APACHE_LINE]["pri"] is None
+    assert out[SYSLOG_LINE]["pri"] == 34
+    assert out[SYSLOG_LINE]["message"] == "hi there"
+    assert out["nope"]["clientip"] is None and out["nope"]["pri"] is None
+
+
+def test_grok_query_matches_duckdb_oracle(spark, ddb):
+    ensure_transcripts(SF)
+    sf_dir = f"/root/testdata/{SF}"
+    spark_df = QUERIES["parse_grok_apache"](spark, sf_dir)
+    sql = oracle_sql_for(SF)["parse_grok_apache"]
+    assert_df_equal(spark_df, ddb.sql(sql), sort_cols=["conv_id", "turn_idx"])
+
+
+def test_single_regex_pass_in_plan(spark):
+    """The optimized plan must contain exactly ONE regexp_replace per
+    pattern — the whole point of the array-staged extraction."""
+    df = spark.createDataFrame([(APACHE_LINE,)], ["text"])
+    plan = parse_grok(df, "%{COMMONAPACHELOG}")._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_replace") == 1, plan

@@ -1,0 +1,98 @@
+"""Streaming ends_when session reduce (applyInPandasWithState) tests.
+
+Reference semantics: reduce ``ends_when`` closes the group INCLUDING the
+matching event; stale groups flush after the expiry gap
+(src/transforms/reduce/transform.rs:225-312).
+"""
+
+import datetime
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.streaming.session_reduce import streaming_session_reduce
+from vector_spark.streaming.stream_pipeline import TRANSCRIPT_SCHEMA
+
+T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes):
+    return T0 + datetime.timedelta(minutes=minutes)
+
+
+def _write_batch(dirpath, name, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    tbl = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array(["user"] * len(rows), pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+        "tool": pa.array([None] * len(rows), pa.string()),
+        "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+    })
+    pq.write_table(tbl, os.path.join(dirpath, name))
+
+
+def _run(spark, src_dir, out_name, gap_secs=1800):
+    stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    sessions = streaming_session_reduce(
+        stream, ends_when=F.col("text").startswith("bye"),
+        gap_secs=gap_secs, watermark="0 seconds")
+    q = (sessions.writeStream.format("memory").queryName(out_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return {(r["conv_id"], r["session_id"]): r
+            for r in spark.sql(f"select * from {out_name}").collect()}
+
+
+def test_condition_ends_session_including_marker(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batch(src, "b0.parquet", [
+        ("c1", 0, "hi", _ts(0)), ("c1", 1, "more", _ts(1)),
+        ("c1", 2, "bye now", _ts(2)),
+        ("c1", 3, "again", _ts(3)), ("c1", 4, "bye", _ts(4)),
+        ("c2", 0, "solo", _ts(0)),
+    ])
+    got = _run(spark, src, "sess_a")
+    s0 = got[("c1", 0)]
+    assert (s0["n_events"], s0["first_turn"], s0["last_turn"]) == (3, 0, 2)
+    assert s0["ended_by"] == "condition"
+    s1 = got[("c1", 1)]
+    assert (s1["n_events"], s1["first_turn"], s1["last_turn"]) == (2, 3, 4)
+    # c2 never hit ends_when and the stream ended before its gap -> still open
+    assert ("c2", 0) not in got
+
+
+def test_state_carries_across_microbatches(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    # batch 1: open a session; batch 2 (separate file => separate trigger):
+    # close it — state must carry turn 0-1 into the batch-2 fold
+    _write_batch(src, "b0.parquet", [
+        ("c9", 0, "hello", _ts(0)), ("c9", 1, "mid", _ts(1))])
+    _write_batch(src, "b1.parquet", [
+        ("c9", 2, "bye", _ts(2))])
+    got = _run(spark, src, "sess_b")
+    s = got[("c9", 0)]
+    assert (s["n_events"], s["first_turn"], s["last_turn"]) == (3, 0, 2)
+    assert s["ended_by"] == "condition"
+
+
+def test_timeout_flushes_stale_session(spark, tmp_path):
+    src = str(tmp_path / "src3")
+    _write_batch(src, "b0.parquet", [
+        ("c5", 0, "never closed", _ts(0))])
+    # a much-later event on another conv advances the watermark past
+    # c5's gap in the NEXT trigger
+    _write_batch(src, "b1.parquet", [
+        ("c6", 0, "late event", _ts(120))])
+    _write_batch(src, "b2.parquet", [
+        ("c6", 1, "even later", _ts(240))])
+    got = _run(spark, src, "sess_c", gap_secs=600)
+    s = got[("c5", 0)]
+    assert s["n_events"] == 1
+    assert s["ended_by"] == "timeout"

@@ -318,6 +318,62 @@ def q_vrl_funcs(spark, sf_dir):
     )
 
 
+def q_parse_csv_roundtrip(spark, sf_dir):
+    """encode_csv -> parse_csv round trip (codec parity: encoding/format/
+    csv.rs vs decoding parse_csv.cue). Oracle = identity projection, so
+    any quoting/escaping asymmetry fails the diff."""
+    from vector_spark.functions.parse import parse_csv
+    from vector_spark.sinks.encode import encode_csv
+
+    t = _transcripts(spark, sf_dir)
+    enc = t.select("conv_id", "turn_idx",
+                   encode_csv(t, ["role", "tool", "text"]).alias("line"))
+    parsed = enc.withColumn(
+        "rec", parse_csv(F.col("line"), "role string, tool string, text string"))
+    return parsed.select("conv_id", "turn_idx", F.col("rec.role").alias("role"),
+                         F.col("rec.tool").alias("tool"),
+                         F.col("rec.text").alias("text"))
+
+
+def q_parse_key_value(spark, sf_dir):
+    """encode_logfmt -> parse_key_value round trip over unquoted fields."""
+    from vector_spark.functions.parse import parse_key_value
+    from vector_spark.sinks.encode import encode_logfmt
+
+    t = _transcripts(spark, sf_dir)
+    enc = t.select("conv_id", "turn_idx",
+                   encode_logfmt(t, ["role", "tool", "turn_idx"]).alias("line"))
+    m = parse_key_value(F.col("line"))
+    return enc.select("conv_id", "turn_idx", m["role"].alias("kv_role"),
+                      m["tool"].alias("kv_tool"),
+                      m["turn_idx"].cast("int").alias("kv_turn"))
+
+
+def q_ddsearch_filter(spark, sf_dir):
+    """Datadog-search syntax condition over the parsed stream
+    (functions/ddsearch.py; reference src/conditions/datadog_search.rs):
+    5xx statuses, error-level logfmt lines, or freeform error text."""
+    from vector_spark.functions.ddsearch import compile_ddsearch
+
+    cond = compile_ddsearch(
+        'status_any:[500 TO 599] OR level:error OR "error:"')
+    return (_parsed(spark, sf_dir).filter(cond)
+            .select("conv_id", "turn_idx", "kind", "status_any", "level"))
+
+
+def q_parse_grok(spark, sf_dir):
+    """parse_grok with the COMMONAPACHELOG preset (functions/grok.py): the
+    grok->regex compiler end-to-end, single regex pass per row."""
+    from vector_spark.functions.grok import parse_grok
+
+    g = parse_grok(_transcripts(spark, sf_dir), "%{COMMONAPACHELOG}",
+                   drop_unmatched=True)
+    return g.select(
+        "conv_id", "turn_idx", "clientip", "auth", "verb", "request",
+        "httpversion", F.col("response").alias("response"),
+        F.col("bytes").alias("resp_bytes"))
+
+
 def q_remap_dropped(spark, sf_dir):
     """reroute_dropped semantics: unparseable (freeform) lines land on the
     annotated `dropped` port (reference remap.rs:497-557)."""
@@ -475,6 +531,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedupe_ttl": q_dedupe_ttl,
     "agg_auto": q_agg_auto,
     "vrl_string_funcs": q_vrl_funcs,
+    "parse_grok_apache": q_parse_grok,
+    "parse_csv_roundtrip": q_parse_csv_roundtrip,
+    "ddsearch_filter": q_ddsearch_filter,
+    "parse_key_value_roundtrip": q_parse_key_value,
     "remap_dropped_port": q_remap_dropped,
     "sample_ratio": q_sample_ratio,
     "text_token_counts": q_text_token_counts,
@@ -730,6 +790,32 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
              CAST(epoch(log_ts) AS BIGINT) AS log_epoch,
              CAST(length(path) AS BIGINT) AS path_len
       FROM parsed WHERE kind = 'apache_common'"""
+
+    o["ddsearch_filter"] = f"""WITH {P}
+      SELECT conv_id, turn_idx, kind, status_any, level
+      FROM parsed
+      WHERE (status_any BETWEEN 500 AND 599) OR (level = 'error')
+         OR contains(text, 'error:')"""
+
+    # round-trip codec queries: the oracle is the identity projection, so
+    # encode->parse must be lossless for the hashes to match
+    o["parse_csv_roundtrip"] = f"""SELECT conv_id, turn_idx, role, tool, text
+      FROM read_parquet('{tp}')"""
+    o["parse_key_value_roundtrip"] = f"""SELECT conv_id, turn_idx,
+             role AS kv_role, tool AS kv_tool, turn_idx AS kv_turn
+      FROM read_parquet('{tp}')"""
+
+    from vector_spark.functions.grok import compile_grok
+    _gk = compile_grok("%{COMMONAPACHELOG}").regex.replace("'", "''")
+    o["parse_grok_apache"] = f"""SELECT conv_id, turn_idx,
+             nullif(regexp_extract(text, '{_gk}', 1), '') AS clientip,
+             nullif(regexp_extract(text, '{_gk}', 3), '') AS auth,
+             nullif(regexp_extract(text, '{_gk}', 5), '') AS verb,
+             nullif(regexp_extract(text, '{_gk}', 6), '') AS request,
+             nullif(regexp_extract(text, '{_gk}', 7), '') AS httpversion,
+             try_cast(regexp_extract(text, '{_gk}', 8) AS BIGINT) AS response,
+             try_cast(regexp_extract(text, '{_gk}', 9) AS BIGINT) AS resp_bytes
+      FROM read_parquet('{tp}') WHERE regexp_matches(text, '{_gk}')"""
 
     o["remap_dropped_port"] = f"""WITH {P}
       SELECT conv_id, turn_idx,

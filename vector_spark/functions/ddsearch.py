@@ -1,0 +1,157 @@
+"""Datadog-search query syntax -> pyspark Column predicate compiler.
+
+Reference: the ``datadog_search`` condition type
+(src/conditions/datadog_search.rs, 1662 LoC; registered in
+src/conditions/mod.rs:26-51) lets route/filter transforms use Datadog's
+log-search syntax instead of VRL. This module compiles the load-bearing
+subset to a native Column expression — the predicate runs JVM-side in
+whole-stage codegen exactly like a hand-written ``F.col(...)`` chain.
+
+Supported syntax (public Datadog log-search conventions):
+- ``field:value``           equality (string compare after cast)
+- ``field:va*``             wildcard -> LIKE
+- ``field:"a phrase"``      quoted exact value
+- ``field:[a TO b]``        inclusive range
+- ``field:>n  >=n  <n <=n`` numeric comparison
+- ``_exists_:field`` / ``_missing_:field``
+- ``a AND b``, ``a OR b``, ``NOT a``, ``-field:value``, parentheses
+- a bare term searches the default field (``text``) as a substring
+
+Unknown fields fail at Catalyst analysis (same boot-time failure shape as
+the reference's config validation).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() | (?P<rparen>\)) |
+        (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b) |
+        (?P<neg>-(?=\w)) |
+        (?P<term>[\w@._]+:(?:"[^"]*"|\[[^\]]+\]|[^\s()]+)) |
+        (?P<bare>"[^"]*"|[^\s()]+)
+    )""",
+    re.VERBOSE,
+)
+
+_RANGE = re.compile(r"^\[\s*(\S+)\s+TO\s+(\S+)\s*\]$", re.IGNORECASE)
+_CMP = re.compile(r"^(>=|<=|>|<)(.+)$")
+
+
+def _lit(raw: str):
+    try:
+        return int(raw)
+    except ValueError:
+        try:
+            return float(raw)
+        except ValueError:
+            return raw
+
+
+def _field_predicate(field: str, raw: str) -> Column:
+    col = F.col(field)
+    if raw.startswith('"') and raw.endswith('"'):
+        return col.cast("string") == raw[1:-1]
+    m = _RANGE.match(raw)
+    if m:
+        lo, hi = _lit(m.group(1)), _lit(m.group(2))
+        return col.between(lo, hi)
+    m = _CMP.match(raw)
+    if m:
+        op, val = m.group(1), _lit(m.group(2))
+        return {"<": col < val, "<=": col <= val,
+                ">": col > val, ">=": col >= val}[op]
+    if "*" in raw or "?" in raw:
+        return col.cast("string").like(raw.replace("*", "%").replace("?", "_"))
+    v = _lit(raw)
+    if isinstance(v, str):
+        return col.cast("string") == v
+    return col == v
+
+
+class _Parser:
+    def __init__(self, query: str, default_field: str):
+        self.default_field = default_field
+        self.toks: list[tuple[str, str]] = []
+        pos = 0
+        while pos < len(query):
+            m = _TOKEN.match(query, pos)
+            if not m or m.end() == pos:
+                if query[pos:].strip():
+                    raise ValueError(f"bad datadog-search query at: {query[pos:]!r}")
+                break
+            pos = m.end()
+            kind = m.lastgroup
+            self.toks.append((kind, m.group(kind)))
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def parse(self) -> Column:
+        col = self.or_()
+        if self.peek()[0] is not None:
+            raise ValueError(f"trailing tokens: {self.toks[self.i:]}")
+        return col
+
+    def or_(self) -> Column:
+        left = self.and_()
+        while self.peek()[0] == "or":
+            self.next()
+            left = left | self.and_()
+        return left
+
+    def and_(self) -> Column:
+        left = self.unary()
+        # implicit AND between adjacent terms (Datadog default)
+        while True:
+            kind = self.peek()[0]
+            if kind == "and":
+                self.next()
+                left = left & self.unary()
+            elif kind in ("term", "bare", "lparen", "not", "neg"):
+                left = left & self.unary()
+            else:
+                return left
+
+    def unary(self) -> Column:
+        kind, val = self.peek()
+        if kind in ("not", "neg"):
+            self.next()
+            return ~self.unary()
+        if kind == "lparen":
+            self.next()
+            inner = self.or_()
+            if self.next()[0] != "rparen":
+                raise ValueError("unbalanced parenthesis")
+            return inner
+        if kind == "term":
+            self.next()
+            field, _, raw = val.partition(":")
+            if field == "_exists_":
+                return F.col(raw).isNotNull()
+            if field == "_missing_":
+                return F.col(raw).isNull()
+            return _field_predicate(field, raw)
+        if kind == "bare":
+            self.next()
+            needle = val[1:-1] if val.startswith('"') else val
+            return F.col(self.default_field).contains(needle)
+        raise ValueError(f"unexpected token {kind}:{val!r}")
+
+
+def compile_ddsearch(query: str, default_field: str = "text") -> Column:
+    """Compile a Datadog-search query string to a boolean Column.
+    NULL comparisons follow SQL semantics (NULL -> not matched), matching
+    the reference's missing-field behavior for facet queries."""
+    return _Parser(query, default_field).parse()

@@ -1,0 +1,232 @@
+"""Grok pattern compiler: ``%{PATTERN:field}`` -> Java regex + typed columns.
+
+Reference: VRL ``parse_grok`` / ``parse_groks``
+(website/cue/reference/remap/functions/parse_grok.cue:1-50) — grok patterns
+are sugar over named-group regexes; SURVEY.md §2.8 maps them to a
+grok→regex compiler feeding native ``regexp`` expressions.
+
+Design (Spark-first): compile ONCE on the driver to a plain Java-compatible
+regex whose capturing groups are exactly the named fields, then extract all
+groups in a single regex pass per row (``_grp_all``-style rewrite+split) —
+whole-stage codegen, no Python in the hot path. Sub-pattern expansions are
+rewritten to non-capturing groups so group indices line up with fields.
+
+Pattern syntax supported (the public grok convention):
+- ``%{NAME}``            — splice the named pattern, non-capturing
+- ``%{NAME:field}``      — splice and capture as ``field`` (string)
+- ``%{NAME:field:int}``  — capture and cast (``int`` or ``float``)
+- anything else is raw regex, grok-style (escape literals yourself)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Core pattern library — the load-bearing subset of the public grok base
+# patterns (names follow the upstream convention so reference pipelines
+# translate verbatim).
+PATTERNS: dict[str, str] = {
+    "INT": r"[+-]?\d+",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "NUMBER": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "POSINT": r"\d+",
+    "NONNEGINT": r"\d+",
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "QUOTEDSTRING": r"\"[^\"]*\"|'[^']*'",
+    "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+    "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "HOSTNAME": r"[a-zA-Z0-9][a-zA-Z0-9\-]*(?:\.[a-zA-Z0-9][a-zA-Z0-9\-]*)*",
+    "IPORHOST": r"(?:(?:\d{1,3}\.){3}\d{1,3}|[a-zA-Z0-9][a-zA-Z0-9\-.]*)",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "EMAILADDRESS": r"[a-zA-Z0-9_.+-]+@[a-zA-Z0-9-]+\.[a-zA-Z0-9-.]+",
+    "LOGLEVEL": r"(?:[Tt]race|TRACE|[Dd]ebug|DEBUG|[Ii]nfo|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL)",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "MONTH": r"Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec",
+    "MONTHDAY": r"(?:0[1-9]|[12]\d|3[01]|[1-9])",
+    "YEAR": r"\d{4}",
+    "TIME": r"\d{2}:\d{2}:\d{2}(?:\.\d+)?",
+    "HTTPMETHOD": r"GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH|TRACE|CONNECT",
+    "URIPATH": r"/[^\s?#]*",
+    "PATH": r"/[^\s?#]*",
+    "QS": r"\"[^\"]*\"",
+}
+
+# presets mirroring the VRL parse_*_log family (parse_apache_log.cue etc.)
+PATTERNS["COMMONAPACHELOG"] = (
+    "%{IPORHOST:clientip} %{NOTSPACE:ident} %{NOTSPACE:auth} "
+    r"\[%{HTTPDATE:timestamp}\] "
+    '"%{HTTPMETHOD:verb} %{NOTSPACE:request} %{NOTSPACE:httpversion}" '
+    "%{POSINT:response:int} %{POSINT:bytes:int}"
+)
+PATTERNS["SYSLOG5424LINE"] = (
+    r"<%{POSINT:pri:int}>%{POSINT:version:int} %{TIMESTAMP_ISO8601:ts} "
+    "%{NOTSPACE:hostname} %{NOTSPACE:appname} %{NOTSPACE:procid} "
+    "%{NOTSPACE:msgid} - %{GREEDYDATA:message}"
+)
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?(?::(\w+))?\}")
+
+# grok type coercions -> Spark cast targets (parse_grok.cue: int/float)
+_CASTS = {"int": "long", "integer": "long", "long": "long",
+          "float": "double", "double": "double", "bool": "boolean"}
+
+
+@dataclass(frozen=True)
+class CompiledGrok:
+    regex: str
+    fields: tuple[str, ...]          # capture-group order
+    casts: tuple[str | None, ...]    # Spark cast type per field (or None)
+
+
+def _body(name: str) -> str:
+    try:
+        return PATTERNS[name]
+    except KeyError:
+        raise ValueError(f"unknown grok pattern %{{{name}}}") from None
+
+
+def _expand(src: str, capture: bool, depth: int = 0) -> tuple[str, list[str], list[str | None]]:
+    if depth > 10:
+        raise ValueError("grok pattern recursion too deep")
+    out: list[str] = []
+    fields: list[str] = []
+    casts: list[str | None] = []
+    pos = 0
+    for m in _GROK_REF.finditer(src):
+        out.append(src[pos:m.start()])
+        name, field, typ = m.group(1), m.group(2), m.group(3)
+        if field and capture:
+            if typ is not None and typ not in _CASTS:
+                raise ValueError(f"unsupported grok cast {typ!r} in %{{{name}:{field}:{typ}}}")
+            # named capture: the whole splice is one group; nested field
+            # refs inside the body are suppressed (non-capturing)
+            body, _, _ = _expand(_body(name), capture=False, depth=depth + 1)
+            fields.append(field)
+            casts.append(_CASTS.get(typ) if typ else None)
+            out.append(f"({body})")
+        else:
+            # unnamed splice of a composite (e.g. %{COMMONAPACHELOG}):
+            # nested field refs stay captured, logstash-style
+            body, sub_f, sub_c = _expand(_body(name), capture=capture, depth=depth + 1)
+            fields.extend(sub_f)
+            casts.extend(sub_c)
+            out.append(f"(?:{body})")
+        pos = m.end()
+    out.append(src[pos:])
+    return "".join(out), fields, casts
+
+
+def compile_grok(pattern: str, anchored: bool = True) -> CompiledGrok:
+    """Compile a grok pattern to a Java-regex + ordered field/cast lists."""
+    regex, fields, casts = _expand(pattern, capture=True)
+    if not fields:
+        raise ValueError(f"grok pattern captures no fields: {pattern!r}")
+    if anchored:
+        regex = f"^{regex}$"
+    re.compile(regex)  # driver-side validation; Java regex accepts this subset
+    return CompiledGrok(regex, tuple(fields), tuple(casts))
+
+
+_SEP = "\x01"
+
+
+def _raw_array(text: Column, compiled: CompiledGrok) -> Column:
+    """ONE regex pass (rewrite-to-separator + split, the
+    functions/parse.py trick). A leading separator in the replacement
+    makes non-matches detectable without a second rlike pass: a match
+    splits into n_fields+1 parts (empty head), a non-match into fewer."""
+    n = len(compiled.fields)
+    repl = _SEP + _SEP.join(f"${i}" for i in range(1, n + 1))
+    return F.split(F.regexp_replace(text, compiled.regex, repl), _SEP)
+
+
+def _checked(arr: Column, compiled: CompiledGrok) -> Column:
+    n = len(compiled.fields)
+    return F.when(F.size(arr) == n + 1, F.slice(arr, 2, n))
+
+
+def grok_array(text: Column, compiled: CompiledGrok) -> Column:
+    """All grok groups of one anchored match as an array, NULL if the row
+    doesn't match. (Column-level convenience; the regex expression appears
+    twice in the tree — codegen subexpression elimination still runs it
+    once. parse_grok stages it into its own projection instead.)"""
+    return _checked(_raw_array(text, compiled), compiled)
+
+
+def grok_fields(arr: Column, compiled: CompiledGrok) -> dict[str, Column]:
+    """Typed per-field picks from a ``grok_array`` column ('' -> NULL,
+    VRL's unmatched-optional-group convention)."""
+    cols: dict[str, Column] = {}
+    for i, (field, cast) in enumerate(zip(compiled.fields, compiled.casts)):
+        g = F.nullif(arr[i], F.lit(""))
+        cols[field] = g.cast(cast) if cast else g
+    return cols
+
+
+def grok_columns(text: Column, compiled: CompiledGrok) -> dict[str, Column]:
+    """One-shot per-field columns (each re-derives the array expression;
+    prefer parse_grok's two-stage projection in wide plans)."""
+    return grok_fields(grok_array(text, compiled), compiled)
+
+
+def parse_grok(df: DataFrame, pattern: str, text_col: str = "text",
+               drop_unmatched: bool = False) -> DataFrame:
+    """VRL parse_grok over a DataFrame: adds one typed column per grok
+    field; rows that don't match keep NULL fields (forward-original
+    semantics, remap.rs:568-587) unless ``drop_unmatched``.
+
+    Two stacked projections keep the regex at one application per row:
+    stage 1 materializes the group array, stage 2 picks elements
+    (CollapseProject won't inline a non-cheap alias referenced N times).
+    """
+    compiled = compile_grok(pattern)
+    staged = (df.withColumn("__graw", _raw_array(F.col(text_col), compiled))
+              .withColumn("__grok", _checked(F.col("__graw"), compiled)))
+    out = staged.withColumns(grok_fields(F.col("__grok"), compiled))
+    if drop_unmatched:
+        out = out.filter(F.col("__grok").isNotNull())
+    return out.drop("__graw", "__grok")
+
+
+def parse_groks(df: DataFrame, patterns: list[str], text_col: str = "text") -> DataFrame:
+    """VRL parse_groks: try patterns in order, first match wins
+    (parse_grok.cue sibling parse_groks.cue). One regex pass per pattern
+    per row (staged arrays); each field comes from the first pattern (in
+    order) that matched the row and defines that field."""
+    compiled = [compile_grok(p) for p in patterns]
+    t = F.col(text_col)
+    arr_names = [f"__gk{i}" for i in range(len(compiled))]
+    raw_names = [f"__gr{i}" for i in range(len(compiled))]
+    staged = df.withColumns(
+        {n: _raw_array(t, c) for n, c in zip(raw_names, compiled)}
+    ).withColumns(
+        {n: _checked(F.col(r), c)
+         for n, r, c in zip(arr_names, raw_names, compiled)})
+    per_pattern = [grok_fields(F.col(n), c) for n, c in zip(arr_names, compiled)]
+    all_fields: list[str] = []
+    for c in compiled:
+        for f_ in c.fields:
+            if f_ not in all_fields:
+                all_fields.append(f_)
+    cols: dict[str, Column] = {}
+    for field in all_fields:
+        branches = None
+        for n, colmap in zip(arr_names, per_pattern):
+            if field not in colmap:
+                continue
+            cond = F.col(n).isNotNull()
+            branches = (F.when(cond, colmap[field]) if branches is None
+                        else branches.when(cond, colmap[field]))
+        cols[field] = branches
+    return staged.withColumns(cols).drop(*raw_names, *arr_names)

@@ -134,6 +134,20 @@ def parse_logfmt_map(text: Column) -> Column:
     return F.str_to_map(text, F.lit(" "), F.lit("="))
 
 
+def parse_csv(text: Column, schema: str) -> Column:
+    """VRL parse_csv (parse_csv.cue): one CSV record -> typed struct.
+    RFC-4180 quoting handled by the native from_csv parser."""
+    return F.from_csv(text, schema)
+
+
+def parse_key_value(text: Column, pair_sep: str = " ", kv_sep: str = "=") -> Column:
+    """VRL parse_key_value / parse_logfmt generic form
+    (parse_key_value.cue): ``k=v`` pairs -> map<string,string>. Unquoted
+    values only (quoted-value logfmt goes through parse_logfmt's regex or
+    a grok pattern)."""
+    return F.str_to_map(text, F.lit(pair_sep), F.lit(kv_sep))
+
+
 def parse_all(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Full remap-style parse stage: classify + extract per-format fields.
 

@@ -1,0 +1,6 @@
+from vector_spark.sinks.encode import (  # noqa: F401
+    encode_csv, encode_json, encode_logfmt, encode_text,
+)
+from vector_spark.sinks.file_sink import (  # noqa: F401
+    DEAD_LETTER, blackhole, file_sink, template_key,
+)

@@ -1,0 +1,49 @@
+"""Sink encoding codecs: event rows -> one encoded string column.
+
+Reference: lib/codecs/src/encoding/format/ ships 16 formats (json, text,
+logfmt, csv, ...); each sink picks one. Spark mapping: ``to_json`` /
+``to_csv`` / concat expressions over a struct of the selected fields —
+all JVM-side, feeding ``df.write.text`` or a message-bus writer.
+
+Null handling follows the reference encoders: json drops null fields
+(serde skip), logfmt skips absent keys, csv renders empty.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _struct(df: DataFrame, cols: list[str] | None) -> Column:
+    return F.struct(*[F.col(c) for c in (cols or df.columns)])
+
+
+def encode_json(df: DataFrame, cols: list[str] | None = None) -> Column:
+    """JSON codec (encoding/format/json.rs): one JSON object per event;
+    null fields omitted (ignoreNullFields mirrors serde skip_none)."""
+    return F.to_json(_struct(df, cols), {"ignoreNullFields": "true"})
+
+
+def encode_csv(df: DataFrame, cols: list[str] | None = None) -> Column:
+    """CSV codec (encoding/format/csv.rs): RFC-4180 quoting via to_csv."""
+    return F.to_csv(_struct(df, cols))
+
+
+def encode_text(df: DataFrame, col: str = "text") -> Column:
+    """Text codec: the raw message field only (encoding/format/text.rs)."""
+    return F.col(col).cast("string")
+
+
+def encode_logfmt(df: DataFrame, cols: list[str] | None = None) -> Column:
+    """logfmt codec (encoding/format/logfmt via native.rs conventions):
+    space-separated ``key=value``; values with spaces/quotes/= get
+    double-quoted with embedded quotes escaped; null fields skipped."""
+    parts = []
+    for c in cols or df.columns:
+        v = F.col(c).cast("string")
+        needs_quote = v.rlike('[ "=]')
+        quoted = F.concat(F.lit('"'), F.regexp_replace(v, '"', '\\\\"'), F.lit('"'))
+        rendered = F.when(needs_quote, quoted).otherwise(v)
+        parts.append(F.when(v.isNotNull(), F.concat(F.lit(c + "="), rendered)))
+    return F.concat_ws(" ", *parts)

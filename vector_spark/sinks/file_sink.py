@@ -1,0 +1,113 @@
+"""File sink with templated dynamic partitioning + dead-letter fallback.
+
+Reference:
+- file sink templated path ``/tmp/vector-%Y-%m-%d.log`` / ``{{ field }}``
+  (src/sinks/file/mod.rs:48-60,240-282) — path is rendered per event, so
+  the path template is really a dynamic partition key;
+- KeyPartitioner (src/sinks/util/partitioner.rs:6-48): sink batches are
+  grouped by the rendered key; events whose template fails to render go
+  to a dead-letter prefix instead of being dropped;
+- batching limits max_bytes/max_events (src/sinks/util/batch.rs:105-142)
+  -> ``maxRecordsPerFile``.
+
+Spark mapping: render the template to ONE partition column and
+``partitionBy`` it — the writer groups rows per key exactly like the
+reference's partitioner, but distributed: each task writes its own
+key-partitioned files, no shuffle (append semantics). At 100 TB this is
+the scalable shape — a per-event dynamic open-file map (the reference's
+approach) caps out on file handles; a partition column turns fan-out
+into a plain columnar write.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEAD_LETTER = "_dead_letter"
+
+_FIELD_REF = re.compile(r"\{\{\s*(\w+)\s*\}\}")
+
+# strftime -> Spark date_format (java.text.SimpleDateFormat) translations
+_STRFTIME = {"%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH",
+             "%M": "mm", "%S": "ss", "%j": "DDD", "%U": "ww", "%y": "yy"}
+
+
+def template_key(template: str, ts_col: str = "ts") -> Column:
+    """Compile a sink path template (``{{ field }}`` + strftime specifiers)
+    to a partition-key Column. A NULL field anywhere makes the whole key
+    NULL -> routed to the dead-letter partition (partitioner.rs:23-48)."""
+    parts: list[Column] = []
+    pos = 0
+    for m in _FIELD_REF.finditer(template):
+        lit = template[pos:m.start()]
+        if lit:
+            parts.append(_render_strftime(lit, ts_col))
+        parts.append(F.col(m.group(1)).cast("string"))
+        pos = m.end()
+    tail = template[pos:]
+    if tail:
+        parts.append(_render_strftime(tail, ts_col))
+    # concat (not concat_ws): NULL poisons the key => dead-letter fallback
+    key = parts[0] if len(parts) == 1 else F.concat(*parts)
+    return F.coalesce(key, F.lit(DEAD_LETTER))
+
+
+def _render_strftime(lit: str, ts_col: str) -> Column:
+    if "%" not in lit:
+        return F.lit(lit)
+    fmt = lit
+    for k, v in _STRFTIME.items():
+        fmt = fmt.replace(k, v)
+    # literal text inside a date_format pattern must be single-quoted
+    out = re.sub(r"([A-Za-z]+)", lambda m: m.group(1) if m.group(1) in _STRFTIME.values() or set(m.group(1)) <= set("yMdHmsDw") else f"'{m.group(1)}'", fmt)
+    return F.date_format(F.col(ts_col), out)
+
+
+def file_sink(
+    df: DataFrame, out_dir: str, template: str | None = None,
+    fmt: str = "parquet", encode_cols: list[str] | None = None,
+    ts_col: str = "ts", max_records_per_file: int | None = None,
+    text_col: str = "text",
+) -> None:
+    """Write ``df`` to ``out_dir``; ``template`` becomes a ``sink_key``
+    partition column. ``fmt`` in {parquet, json, csv, text, logfmt}; the
+    encoded formats render through sinks/encode.py into ``.text`` files
+    (one encoded event per line, like the reference's framed file sink).
+    """
+    from vector_spark.sinks.encode import encode_csv, encode_json, encode_logfmt, encode_text
+
+    writer_df = df
+    part_cols: list[str] = []
+    if template is not None:
+        writer_df = writer_df.withColumn("sink_key", template_key(template, ts_col))
+        part_cols = ["sink_key"]
+
+    if fmt == "parquet":
+        out = writer_df
+    elif fmt in ("json", "csv", "logfmt", "text"):
+        enc = {"json": lambda d: encode_json(d, encode_cols),
+               "csv": lambda d: encode_csv(d, encode_cols),
+               "logfmt": lambda d: encode_logfmt(d, encode_cols),
+               "text": lambda d: encode_text(d, text_col)}[fmt]
+        # encode over the event columns only (sink_key stays partition-only)
+        base = writer_df.drop("sink_key") if part_cols else writer_df
+        out = writer_df.select(*part_cols, enc(base).alias("value"))
+        fmt = "text"
+    else:
+        raise ValueError(f"unknown sink format {fmt!r}")
+
+    w = out.write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    getattr(w, "parquet" if fmt == "parquet" else "text")(out_dir)
+
+
+def blackhole(df: DataFrame) -> int:
+    """Blackhole sink (src/sinks/blackhole/config.rs:18): consume and
+    count — the bench's no-IO terminal."""
+    return df.count()

@@ -1,0 +1,131 @@
+"""Streaming condition-ended session reduce via applyInPandasWithState.
+
+Reference: the reduce transform's ``ends_when`` flush trigger + staleness
+expiry (src/transforms/reduce/transform.rs:225-312, config
+``ends_when``/``expire_after_ms`` at reduce/config.rs:33-56). Batch mode
+expresses this with window-function marker cumsum
+(operators/reduce.py); streaming needs real keyed state — the one
+operator SURVEY.md §7 flags as nontrivial state.
+
+Spark mapping: ``applyInPandasWithState`` grouped by ``conv_id`` with
+event-time timeout:
+- rows arrive per micro-batch, are sorted by ``turn_idx`` and folded into
+  per-conversation running state (Arrow-batched pandas, no per-row
+  Python);
+- a row matching ``ends_when`` (computed JVM-side as a boolean column
+  BEFORE the stateful stage, so the predicate runs in codegen) closes
+  the open session including that row — emitted downstream immediately;
+- conversations idle past ``gap_secs`` relative to the watermark are
+  flushed with ``ended_by='timeout'`` (≙ expire_after_ms staleness).
+
+Scale: state per open conversation is O(1) (running aggregates, never
+the row buffer), partitioned across executors by conv_id — 10^9 open
+conversations is ~tens of GB of state store, spilled/snapshotted by the
+HDFS/RocksDB state backend.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "conv_id string, session_id long, n_events long, first_turn long, "
+    "last_turn long, first_ts timestamp, last_ts timestamp, ended_by string"
+)
+STATE_SCHEMA = (
+    "session_seq long, n_events long, first_turn long, last_turn long, "
+    "first_ts_ms long, last_ts_ms long"
+)
+
+_EMPTY = (0, 0, -1, -1, 0, 0)
+
+
+def _emit(conv_id: str, seq: int, n: int, ft: int, lt: int,
+          fts: int, lts: int, ended_by: str) -> dict[str, Any]:
+    return {
+        "conv_id": conv_id, "session_id": seq, "n_events": n,
+        "first_turn": ft, "last_turn": lt,
+        "first_ts": pd.Timestamp(fts, unit="ms"),
+        "last_ts": pd.Timestamp(lts, unit="ms"),
+        "ended_by": ended_by,
+    }
+
+
+def _session_fn(gap_secs: int):
+    gap_ms = gap_secs * 1000
+
+    def fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        seq, n, ft, lt, fts, lts = state.get if state.exists else _EMPTY
+
+        if state.hasTimedOut:
+            out = ([_emit(conv_id, seq, n, ft, lt, fts, lts, "timeout")]
+                   if n else [])
+            state.remove()
+            if out:
+                yield pd.DataFrame(out)
+            return
+
+        import numpy as np
+
+        pdf = pd.concat(list(pdfs)).sort_values("turn_idx")
+        ts_ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
+        turns = pdf["turn_idx"].to_numpy()
+        ends = pdf["__ends"].fillna(False).to_numpy(dtype=bool)
+
+        # one iteration per CLOSED session (not per row): slice between
+        # consecutive ends_when markers
+        out = []
+        start = 0
+        for e in np.flatnonzero(ends):
+            cnt = int(e) - start + 1
+            if n == 0:  # fresh session: first row of this chunk opens it
+                ft, fts = int(turns[start]), int(ts_ms[start])
+            out.append(_emit(conv_id, seq, n + cnt, ft, int(turns[e]),
+                             fts, int(ts_ms[e]), "condition"))
+            seq, n, ft, lt, fts, lts = seq + 1, 0, -1, -1, 0, 0
+            start = int(e) + 1
+
+        tail = len(pdf) - start
+        if tail:
+            if n == 0:
+                ft, fts = int(turns[start]), int(ts_ms[start])
+            n += tail
+            lt, lts = int(turns[-1]), int(ts_ms[-1])
+        if n:
+            state.update((seq, n, ft, lt, fts, lts))
+            state.setTimeoutTimestamp(lts + gap_ms)
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def streaming_session_reduce(
+    parsed_stream: DataFrame, ends_when, gap_secs: int = 1800,
+    watermark: str = "10 minutes", group_col: str = "conv_id",
+) -> DataFrame:
+    """Condition-ended session reduce over a streaming DataFrame.
+
+    ``ends_when`` is a boolean Column evaluated JVM-side; ``gap_secs`` is
+    the staleness flush (reference expire_after_ms default 30s — ours
+    defaults to 30min for conversation gaps).
+    """
+    staged = (parsed_stream
+              .withColumn("__ends", ends_when)
+              .select(group_col, "turn_idx", "ts", "__ends")
+              .withWatermark("ts", watermark))
+    return staged.groupBy(group_col).applyInPandasWithState(
+        _session_fn(gap_secs),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
