@@ -1,0 +1,105 @@
+"""VRL remap program compiler tests (functions/remap_lang.py).
+
+Reference semantics: remap transform running compiled VRL per event
+(src/transforms/remap.rs:605-645); sequential assignment visibility,
+if/else, del(), ?? coalescing per the VRL expression docs
+(website/cue/reference/remap/expressions/).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.functions.remap_lang import compile_remap, remap
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(1, "GET", "/a", 200, None),
+         (2, "post", "/b/long/path", 503, "u1"),
+         (3, None, "/c", None, "u2")],
+        ["id", "method", "path", "status", "user"])
+
+
+def _by_id(rows):
+    return {r["id"]: r for r in rows}
+
+
+def test_assignment_and_stdlib(df):
+    out = _by_id(remap(df, '.m = downcase(.method)').collect())
+    assert out[1]["m"] == "get" and out[2]["m"] == "post" and out[3]["m"] is None
+
+
+def test_sequential_visibility(df):
+    # later statements see earlier assignments (imperative VRL)
+    out = _by_id(remap(df, """
+        .a = .status + 1
+        .b = .a * 2
+    """).collect())
+    assert out[1]["b"] == 402 and out[2]["b"] == 1008
+
+
+def test_if_else_chain(df):
+    out = _by_id(remap(df, """
+        if .status >= 500 { .sev = "error" }
+        else if .status >= 200 { .sev = "ok" }
+        else { .sev = "unknown" }
+    """).collect())
+    assert out[1]["sev"] == "ok"
+    assert out[2]["sev"] == "error"
+    assert out[3]["sev"] == "unknown"  # NULL status -> fallible cond -> false
+
+
+def test_del_and_read_after_del(df):
+    prog = compile_remap("del(.path); .p2 = .path ?? \"gone\"")
+    out = prog.apply(df)
+    assert "path" not in out.columns
+    assert _by_id(out.collect())[1]["p2"] == "gone"
+
+
+def test_guarded_del_nulls_value(df):
+    out = _by_id(remap(df, 'if .status >= 500 { del(.user) }').collect())
+    assert out[2]["user"] is None   # guarded delete hit
+    assert out[3]["user"] == "u2"   # guard false -> kept
+
+
+def test_coalesce_and_concat(df):
+    out = _by_id(remap(df, '.who = (.user ?? "anon") + "@site"').collect())
+    assert out[1]["who"] == "anon@site"
+    assert out[2]["who"] == "u1@site"
+
+
+def test_arithmetic_precedence(df):
+    out = _by_id(remap(df, '.x = 2 + 3 * 4 - 1').collect())
+    assert out[1]["x"] == 13
+
+
+def test_string_functions(df):
+    out = _by_id(remap(df, """
+        .short = truncate(.path, 4)
+        .hash = sha2(.path, 256)
+        .len = strlen(.path)
+    """).collect())
+    assert out[2]["short"] == "/b/l"
+    assert len(out[2]["hash"]) == 64
+    assert out[2]["len"] == 12
+
+
+def test_single_projection_plan(df):
+    # the whole program compiles to ONE added Project, not one per stmt
+    out = remap(df, """
+        .a = .status + 1
+        .b = downcase(.method)
+        if .status >= 500 { .c = "hot" } else { .c = "cold" }
+    """)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Project") <= 1, plan
+
+
+def test_errors():
+    with pytest.raises(ValueError, match="unknown identifier"):
+        compile_remap(".x = nosuchfn(.y)")
+    with pytest.raises(ValueError, match="expected statement|unexpected token"):
+        compile_remap("42")
+    with pytest.raises(ValueError, match="takes"):
+        compile_remap(".x = sha2(.a, 256, 9)")

@@ -184,3 +184,66 @@ def test_full_parse_route_spec_on_fixture(spark):
     expected = (route_exploded(parse_all(df), flagship_conditions())
                 .groupBy("route").count().collect())
     assert counts == {r["route"]: r["count"] for r in expected}
+
+
+def test_ddsearch_condition_and_grok_transform(spark, events):
+    """Dict-typed conditions (datadog_search) + parse_grok + encoded file
+    sink wired through the declarative spec."""
+    import datetime
+    import glob
+    import json
+    import os
+    import tempfile
+
+    rows = [("c1", 0, '1.2.3.4 - u [10/Oct/2000:13:55:36 +0000] "GET /a HTTP/1.0" 200 10',
+             datetime.datetime(2024, 1, 1)),
+            ("c1", 1, "free text", datetime.datetime(2024, 1, 1)),
+            ("c2", 0, '5.6.7.8 - v [10/Oct/2000:13:55:36 +0000] "GET /b HTTP/1.0" 503 99',
+             datetime.datetime(2024, 1, 1))]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text", "ts"])
+    out_dir = tempfile.mkdtemp(prefix="topo-sink-")
+    spec = {
+        "sources": {"in": {"type": "dataframe", "df": df}},
+        "transforms": {
+            "g": {"type": "parse_grok", "inputs": ["in"],
+                  "pattern": "%{COMMONAPACHELOG}", "drop_unmatched": True},
+            "bad": {"type": "filter", "inputs": ["g"],
+                    "condition": {"type": "datadog_search",
+                                  "source": "response:[500 TO 599]"}},
+        },
+        "sinks": {
+            "alerts": {"type": "file", "inputs": ["bad"], "format": "json",
+                       "path": os.path.join(out_dir, "alerts"),
+                       "encode_cols": ["conv_id", "clientip", "response"]},
+        },
+    }
+    counts = build_topology(spark, spec).run()
+    assert counts == {"alerts": 1}
+    lines = []
+    for f in glob.glob(os.path.join(out_dir, "alerts", "*.txt")):
+        lines += [json.loads(l) for l in open(f) if l.strip()]
+    assert lines == [{"conv_id": "c2", "clientip": "5.6.7.8", "response": 503}]
+
+
+def test_line_agg_transform_in_spec(spark):
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("c1", 0, "Traceback:", ts), ("c1", 1, "  at foo", ts),
+         ("c1", 2, "  at bar", ts), ("c1", 3, "next msg", ts)],
+        ["conv_id", "turn_idx", "text", "ts"])
+    spec = {
+        "sources": {"in": {"type": "dataframe", "df": df}},
+        "transforms": {
+            "stitched": {"type": "line_agg", "inputs": ["in"],
+                         "mode": "continue_through",
+                         "condition": 'starts_with(.text, "  ")'},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["stitched"]}},
+    }
+    counts = build_topology(spark, spec).run()
+    assert counts == {"out": 2}
+    msgs = [r["message"] for r in
+            spark.sql("select * from out order by msg_id").collect()]
+    assert msgs == ["Traceback:\n  at foo\n  at bar", "next msg"]

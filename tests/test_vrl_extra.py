@@ -1,0 +1,45 @@
+"""VRL codec/url/duration function tests (functions/vrl.py additions)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.functions import vrl
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [("hello world", "https://u@api.example.com:8443/v1/items?q=spark&page=2#frag",
+          "300ms"),
+         ("x", "http://localhost/", "1.5h")],
+        ["s", "url", "dur"])
+
+
+def test_base64_roundtrip(df):
+    r = df.select(vrl.decode_base64(vrl.encode_base64(F.col("s"))).alias("v")).collect()
+    assert [x["v"] for x in r] == ["hello world", "x"]
+
+
+def test_percent_roundtrip(df):
+    r = df.select(vrl.decode_percent(vrl.encode_percent(F.col("s"))).alias("v")).collect()
+    assert [x["v"] for x in r] == ["hello world", "x"]
+
+
+def test_parse_url_parts(df):
+    r = df.select(
+        vrl.parse_url(F.col("url"), "HOST").alias("host"),
+        vrl.parse_url(F.col("url"), "PATH").alias("path"),
+        vrl.parse_url(F.col("url"), "PROTOCOL").alias("proto"),
+        vrl.parse_url_query(F.col("url"), "q").alias("q"),
+    ).first()
+    assert r["host"] == "api.example.com"
+    assert r["path"] == "/v1/items"
+    assert r["proto"] == "https"
+    assert r["q"] == "spark"
+
+
+def test_parse_duration(df):
+    r = df.select(vrl.parse_duration(F.col("dur")).alias("v")).collect()
+    assert [x["v"] for x in r] == pytest.approx([0.3, 5400.0])
+    r2 = df.select(vrl.parse_duration(F.col("dur"), "ms").alias("v")).collect()
+    assert [x["v"] for x in r2] == pytest.approx([300.0, 5400000.0])

@@ -374,6 +374,52 @@ def q_parse_grok(spark, sf_dir):
         F.col("bytes").alias("resp_bytes"))
 
 
+def q_remap_program(spark, sf_dir):
+    """A VRL remap program compiled to one projection
+    (functions/remap_lang.py; reference remap transform
+    src/transforms/remap.rs:605-645)."""
+    from vector_spark.functions.remap_lang import remap
+
+    out = remap(_parsed(spark, sf_dir), """
+        .sev = "none"
+        if .status_any >= 500 { .sev = "error" }
+        else if .status_any >= 400 { .sev = "warn" }
+        else if .status_any >= 100 { .sev = "ok" }
+        .who = (.http_user ?? .json_user) ?? "anon"
+        .path_any = .path ?? .json_path
+        if exists(.path_any) { .path_hash = sha2(.path_any, 256) }
+        .text_len = strlen(.text)
+    """)
+    return out.select("conv_id", "turn_idx", "sev", "who", "path_any",
+                      "path_hash", F.col("text_len").cast("long").alias("text_len"))
+
+
+def q_agg_histogram(spark, sf_dir):
+    """log_to_metric distribution -> hourly AggregatedHistogram per
+    event_type (operators/metrics.py::aggregate_histogram)."""
+    from vector_spark.operators.metrics import aggregate_histogram
+
+    h = aggregate_histogram(_events(spark, sf_dir), ["event_type"], "value",
+                            "ts", 3600, buckets=[10.0, 50.0, 100.0, 500.0])
+    return h.select("window_start", "event_type", "le_10_0", "le_50_0",
+                    "le_100_0", "le_500_0", "count",
+                    F.round("sum", 6).alias("sum"))
+
+
+def q_agg_summary(spark, sf_dir):
+    """log_to_metric distribution -> hourly AggregatedSummary quantiles
+    per event_type (operators/metrics.py::aggregate_summary)."""
+    from vector_spark.operators.metrics import aggregate_summary
+
+    s = aggregate_summary(_events(spark, sf_dir), ["event_type"], "value",
+                          "ts", 3600, quantiles=(0.5, 0.9, 0.99))
+    return s.select("window_start", "event_type",
+                    F.round("q5", 6).alias("q5"),
+                    F.round("q9", 6).alias("q9"),
+                    F.round("q99", 6).alias("q99"),
+                    "count", F.round("sum", 6).alias("sum"))
+
+
 def q_remap_dropped(spark, sf_dir):
     """reroute_dropped semantics: unparseable (freeform) lines land on the
     annotated `dropped` port (reference remap.rs:497-557)."""
@@ -530,12 +576,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_json_props": q_json_props,
     "dedupe_ttl": q_dedupe_ttl,
     "agg_auto": q_agg_auto,
+    "agg_histogram": q_agg_histogram,
+    "agg_summary": q_agg_summary,
     "vrl_string_funcs": q_vrl_funcs,
     "parse_grok_apache": q_parse_grok,
     "parse_csv_roundtrip": q_parse_csv_roundtrip,
     "ddsearch_filter": q_ddsearch_filter,
     "parse_key_value_roundtrip": q_parse_key_value,
     "remap_dropped_port": q_remap_dropped,
+    "remap_program": q_remap_program,
     "sample_ratio": q_sample_ratio,
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
@@ -790,6 +839,38 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
              CAST(epoch(log_ts) AS BIGINT) AS log_epoch,
              CAST(length(path) AS BIGINT) AS path_len
       FROM parsed WHERE kind = 'apache_common'"""
+
+    o["remap_program"] = f"""WITH {P}
+      SELECT conv_id, turn_idx,
+             CASE WHEN status_any >= 500 THEN 'error'
+                  WHEN status_any >= 400 THEN 'warn'
+                  WHEN status_any >= 100 THEN 'ok'
+                  ELSE 'none' END AS sev,
+             coalesce(http_user, json_user, 'anon') AS who,
+             coalesce(path, json_path) AS path_any,
+             CASE WHEN coalesce(path, json_path) IS NOT NULL
+                  THEN sha256(coalesce(path, json_path)) END AS path_hash,
+             CAST(length(text) AS BIGINT) AS text_len
+      FROM parsed"""
+
+    o["agg_histogram"] = """SELECT
+        CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+        event_type,
+        sum(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) AS le_10_0,
+        sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS le_50_0,
+        sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS le_100_0,
+        sum(CASE WHEN value <= 500.0 THEN 1 ELSE 0 END) AS le_500_0,
+        count(value) AS count, round(sum(value), 6) AS sum
+      FROM events GROUP BY 1, 2"""
+
+    o["agg_summary"] = """SELECT
+        CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+        event_type,
+        round(quantile_cont(value, 0.5), 6) AS q5,
+        round(quantile_cont(value, 0.9), 6) AS q9,
+        round(quantile_cont(value, 0.99), 6) AS q99,
+        count(value) AS count, round(sum(value), 6) AS sum
+      FROM events GROUP BY 1, 2"""
 
     o["ddsearch_filter"] = f"""WITH {P}
       SELECT conv_id, turn_idx, kind, status_any, level

@@ -1,0 +1,393 @@
+"""VRL remap *program* compiler: imperative source -> one projection.
+
+The reference's central transform is ``remap`` running a compiled VRL
+program per event (src/transforms/remap.rs:605-645; language surface
+website/cue/reference/remap/expressions/). This module compiles the
+imperative subset — sequential assignments, ``del()``, ``if/else``
+blocks, arithmetic/concat, error-coalescing ``??``, and the stdlib
+mapped in functions/vrl.py — into a single set of Column expressions
+applied with ``withColumns`` + ``drop``: compile once on the driver,
+execute JVM-side in whole-stage codegen, exactly VRL's
+compile-once-run-batched model with Catalyst as the runtime.
+
+Grammar:
+    program := stmt*
+    stmt    := path "=" expr ";"?          -- assignment (sequential)
+             | "del" "(" path ")" ";"?     -- field delete
+             | "if" expr block ("else" (block | if_stmt))?
+    block   := "{" stmt* "}"
+    expr    := coalesce
+    coalesce:= or ("??" or)*               -- VRL error/null coalescing
+    or/and/!/comparison                    -- as functions/conditions.py
+    additive:= mult (("+"|"-") mult)*      -- numeric add or string concat
+    mult    := unary (("*"|"/") unary)*
+    primary := "(" expr ")" | call | path | literal
+
+Sequential semantics: later statements observe earlier assignments
+(an env of name -> Column threads through compilation); ``if`` guards
+rewrite contained assignments to ``when(cond, new).otherwise(old)``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_spark.functions import vrl
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:"
+    r"(?P<comment>#[^\n]*)"
+    r"|(?P<num>-?\d+(?:\.\d+)?)"
+    r"|(?P<str>\"(?:[^\"\\]|\\.)*\")"
+    r"|(?P<path>\.(?:[A-Za-z_][A-Za-z0-9_]*))"
+    r"|(?P<ident>[A-Za-z_][A-Za-z0-9_]*)"
+    r"|(?P<op>==|!=|<=|>=|\|\||&&|\?\?|[!<>(),{}=;+\-*/])"
+    r")"
+)
+
+# VRL stdlib dispatch: name -> (fn, arity_min, arity_max)
+_FUNCS = {
+    "upcase": (vrl.upcase, 1, 1),
+    "downcase": (vrl.downcase, 1, 1),
+    "strip_whitespace": (vrl.strip_whitespace, 1, 1),
+    "strlen": (lambda c: vrl.strlen(c).cast("long"), 1, 1),
+    "length": (lambda c: F.length(c).cast("long"), 1, 1),
+    "sha1": (vrl.sha1, 1, 1),
+    "md5": (vrl.md5, 1, 1),
+    "sha2": (lambda c, bits=256: vrl.sha2(c, int(bits)), 1, 2),
+    "to_int": (vrl.to_int, 1, 1),
+    "to_float": (vrl.to_float, 1, 1),
+    "to_string": (vrl.to_string, 1, 1),
+    "to_unix_timestamp": (vrl.to_unix_timestamp, 1, 1),
+    "replace": (lambda c, p, r: F.regexp_replace(c, p, r), 3, 3),
+    "truncate": (lambda c, n: vrl.truncate(c, int(n)), 2, 2),
+    "split": (lambda c, sep: F.split(c, sep), 2, 2),
+    "join": (lambda c, sep: F.concat_ws(sep, c), 2, 2),
+    "exists": (lambda c: c.isNotNull(), 1, 1),
+    "is_null": (lambda c: c.isNull(), 1, 1),
+    "contains": (lambda a, b: a.contains(b), 2, 2),
+    "starts_with": (lambda a, b: a.startswith(b), 2, 2),
+    "ends_with": (lambda a, b: a.endswith(b), 2, 2),
+    "match": (lambda a, p: a.rlike(p), 2, 2),
+    "parse_duration": (vrl.parse_duration, 1, 2),
+    "ip_aton": (vrl.ip_aton, 1, 1),
+    "encode_base64": (vrl.encode_base64, 1, 1),
+    "decode_base64": (vrl.decode_base64, 1, 1),
+    "redact": (lambda c, p: vrl.redact(c, [p]), 2, 2),
+    "round": (lambda c, n=0: F.round(c, int(n)), 1, 2),
+    "abs": (F.abs, 1, 1),
+    "floor": (F.floor, 1, 1),
+    "ceil": (F.ceil, 1, 1),
+}
+
+_KEYWORDS = {"if", "else", "del", "true", "false", "null"}
+
+
+class _Tok:
+    __slots__ = ("kind", "value")
+
+    def __init__(self, kind: str, value: str):
+        self.kind, self.value = kind, value
+
+    def __repr__(self):
+        return f"{self.kind}:{self.value}"
+
+
+def _tokenize(src: str) -> list[_Tok]:
+    toks, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m or m.end() == pos:
+            if src[pos:].strip() == "":
+                break
+            raise ValueError(f"remap syntax error at {src[pos:pos+30]!r}")
+        pos = m.end()
+        for kind in ("comment", "num", "str", "path", "ident", "op"):
+            v = m.group(kind)
+            if v is not None:
+                if kind != "comment":
+                    toks.append(_Tok(kind, v))
+                break
+    return toks
+
+
+class RemapProgram:
+    """Compiled program. Expression trees are built per input schema (so a
+    guarded first write to a NEW field falls back to NULL, not to a
+    nonexistent column) and cached by column-set — still compile-once per
+    (program, schema), VRL's model."""
+
+    def __init__(self, toks: list["_Tok"], src: str):
+        self._toks = toks
+        self._src = src
+        self._cache: dict[frozenset, tuple[dict[str, Column], list[str]]] = {}
+        # eager validation against an unknown schema (every field assumed
+        # to exist) so syntax errors surface at compile_remap time
+        _Compiler(list(toks), src, known=None).program()
+
+    def plan(self, columns) -> tuple[dict[str, Column], list[str]]:
+        key = frozenset(columns)
+        if key not in self._cache:
+            c = _Compiler(list(self._toks), self._src, known=set(columns))
+            self._cache[key] = c.program()
+        return self._cache[key]
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        updates, deletes = self.plan(df.columns)
+        out = df.withColumns(updates) if updates else df
+        if deletes:
+            out = out.drop(*deletes)
+        return out
+
+
+class _Compiler:
+    def __init__(self, toks: list[_Tok], src: str, known: set[str] | None = None):
+        self.toks, self.i, self.src = toks, 0, src
+        self.known = known  # input columns; None = assume all exist
+        # env: field -> current Column expr (sequential visibility);
+        # deleted fields are tombstoned with None
+        self.env: dict[str, Column | None] = {}
+
+    # -- token plumbing -------------------------------------------------
+    def peek(self) -> _Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> _Tok:
+        t = self.peek()
+        if t is None:
+            raise ValueError(f"unexpected end of program: {self.src!r}")
+        self.i += 1
+        return t
+
+    def expect(self, value: str) -> None:
+        t = self.next()
+        if t.value != value:
+            raise ValueError(f"expected {value!r}, got {t.value!r}")
+
+    # -- field resolution ------------------------------------------------
+    def _field(self, name: str) -> Column:
+        cur = self.env.get(name, ...)
+        if cur is None:
+            return F.lit(None)  # read-after-del (VRL: null)
+        if cur is not ...:
+            return cur
+        if self.known is not None and name not in self.known:
+            return F.lit(None)  # absent field reads as null (VRL)
+        return F.col(name)
+
+    # -- statements -------------------------------------------------------
+    def program(self) -> tuple[dict[str, Column], list[str]]:
+        while self.peek() is not None:
+            self.statement(guard=None)
+        updates = {k: v for k, v in self.env.items() if v is not None}
+        deletes = [k for k, v in self.env.items()
+                   if v is None and (self.known is None or k in self.known)]
+        return updates, deletes
+
+    def statement(self, guard: Column | None) -> None:
+        t = self.peek()
+        if t is None:
+            raise ValueError("expected statement")
+        if t.kind == "ident" and t.value == "if":
+            self.if_statement(guard)
+            return
+        if t.kind == "ident" and t.value == "del":
+            self.next()
+            self.expect("(")
+            target = self.next()
+            if target.kind != "path":
+                raise ValueError(f"del() takes a field path, got {target!r}")
+            self.expect(")")
+            self._maybe_semi()
+            name = target.value[1:]
+            if guard is not None:
+                # guarded delete keeps the column, nulls the value
+                self.env[name] = F.when(~guard, self._field(name))
+            else:
+                self.env[name] = None
+            return
+        if t.kind == "path":
+            self.next()
+            name = t.value[1:]
+            self.expect("=")
+            value = self._as_col(self.expr())
+            self._maybe_semi()
+            if guard is not None:
+                value = F.when(guard, value).otherwise(self._field(name))
+            self.env[name] = value
+            return
+        raise ValueError(f"unexpected token {t!r} (expected statement)")
+
+    def if_statement(self, outer_guard: Column | None) -> None:
+        self.expect("if")
+        cond = self._as_bool(self.expr())
+        cond = F.coalesce(cond, F.lit(False))  # fallible predicate -> false
+        guard = cond if outer_guard is None else (outer_guard & cond)
+        self.block(guard)
+        t = self.peek()
+        if t is not None and t.kind == "ident" and t.value == "else":
+            self.next()
+            neg = ~cond if outer_guard is None else (outer_guard & ~cond)
+            t2 = self.peek()
+            if t2 is not None and t2.kind == "ident" and t2.value == "if":
+                self.if_statement(neg)
+            else:
+                self.block(neg)
+
+    def block(self, guard: Column | None) -> None:
+        self.expect("{")
+        while self.peek() is not None and self.peek().value != "}":
+            self.statement(guard)
+        self.expect("}")
+
+    def _maybe_semi(self) -> None:
+        t = self.peek()
+        if t is not None and t.value == ";":
+            self.next()
+
+    # -- expressions ------------------------------------------------------
+    def expr(self):
+        return self.coalesce()
+
+    def coalesce(self):
+        left = self.or_()
+        while self.peek() and self.peek().value == "??":
+            self.next()
+            left = F.coalesce(self._as_col(left), self._as_col(self.or_()))
+        return left
+
+    def or_(self):
+        left = self.and_()
+        while self.peek() and self.peek().value == "||":
+            self.next()
+            left = self._as_bool(left) | self._as_bool(self.and_())
+        return left
+
+    def and_(self):
+        left = self.unary()
+        while self.peek() and self.peek().value == "&&":
+            self.next()
+            left = self._as_bool(left) & self._as_bool(self.unary())
+        return left
+
+    def unary(self):
+        t = self.peek()
+        if t and t.value == "!":
+            self.next()
+            return ~self._as_bool(self.unary())
+        return self.comparison()
+
+    def comparison(self):
+        left = self.additive()
+        t = self.peek()
+        if t and t.value in ("==", "!=", "<", "<=", ">", ">="):
+            op = self.next().value
+            right = self.additive()
+            lc, rc = self._as_col(left), self._as_col(right)
+            return {"==": lc == rc, "!=": lc != rc, "<": lc < rc,
+                    "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc}[op]
+        return left
+
+    def additive(self):
+        left = self.mult()
+        while self.peek() and self.peek().value in ("+", "-"):
+            op = self.next().value
+            right = self.mult()
+            if op == "+" and (isinstance(left, str) or isinstance(right, str)):
+                left = F.concat(self._as_col(left).cast("string"),
+                                self._as_col(right).cast("string"))
+            else:
+                lc, rc = self._as_col(left), self._as_col(right)
+                left = (lc + rc) if op == "+" else (lc - rc)
+        return left
+
+    def mult(self):
+        left = self.primary_or_unaryminus()
+        while self.peek() and self.peek().value in ("*", "/"):
+            op = self.next().value
+            lc, rc = self._as_col(left), self._as_col(self.primary_or_unaryminus())
+            left = (lc * rc) if op == "*" else (lc / rc)
+        return left
+
+    def primary_or_unaryminus(self):
+        t = self.peek()
+        if t and t.value == "-":
+            self.next()
+            return -self._as_col(self.primary_or_unaryminus())
+        return self.primary()
+
+    def primary(self):
+        t = self.next()
+        if t.value == "(":
+            c = self.expr()
+            self.expect(")")
+            return c
+        if t.kind == "path":
+            return self._field(t.value[1:])
+        if t.kind == "num":
+            return float(t.value) if "." in t.value else int(t.value)
+        if t.kind == "str":
+            return t.value[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+        if t.kind == "ident":
+            if t.value == "true":
+                return F.lit(True)
+            if t.value == "false":
+                return F.lit(False)
+            if t.value == "null":
+                return F.lit(None)
+            if t.value in _FUNCS:
+                return self.call(t.value)
+            raise ValueError(f"unknown identifier {t.value!r}")
+        raise ValueError(f"unexpected token {t!r} in expression")
+
+    def call(self, name: str):
+        fn, lo, hi = _FUNCS[name]
+        self.expect("(")
+        args = []
+        if self.peek() and self.peek().value != ")":
+            args.append(self.expr())
+            while self.peek() and self.peek().value == ",":
+                self.next()
+                args.append(self.expr())
+        self.expect(")")
+        if not (lo <= len(args) <= hi):
+            raise ValueError(f"{name}() takes {lo}..{hi} args, got {len(args)}")
+        # literal args (patterns, counts) pass through raw; field args as Columns
+        conv = [a if isinstance(a, (str, int, float)) else self._as_col(a)
+                for a in args]
+        # first arg is always the value -> Column
+        if conv and isinstance(conv[0], (str, int, float)):
+            conv[0] = F.lit(conv[0])
+        return fn(*conv)
+
+    # -- helpers ----------------------------------------------------------
+    @staticmethod
+    def _as_col(v) -> Column:
+        return v if isinstance(v, Column) else F.lit(v)
+
+    @staticmethod
+    def _as_bool(v) -> Column:
+        if not isinstance(v, Column):
+            raise ValueError(f"expected boolean expression, got {v!r}")
+        return v
+
+
+def compile_remap(src: str) -> RemapProgram:
+    """Compile a VRL remap program to a reusable RemapProgram.
+
+    >>> prog = compile_remap('''
+    ...   .method_norm = downcase(.method)
+    ...   if .status >= 500 { .sev = "error" } else { .sev = "ok" }
+    ...   del(.proto)
+    ... ''')
+    >>> prog.apply(df)
+    """
+    return RemapProgram(_tokenize(src), src)
+
+
+def remap(df: DataFrame, src: str) -> DataFrame:
+    """One-shot: compile + apply a VRL remap program."""
+    return compile_remap(src).apply(df)

@@ -185,6 +185,58 @@ def unique(arr) -> Column:
     return F.array_distinct(_c(arr))
 
 
+# -- Codec (encode_base64.cue, decode_base64.cue, encode_json.cue, ...)
+
+def encode_base64(c) -> Column:
+    return F.base64(_c(c).cast("binary"))
+
+
+def decode_base64(c) -> Column:
+    return F.unbase64(_c(c)).cast("string")
+
+
+def encode_json_col(struct_col) -> Column:
+    """encode_json.cue over a struct column."""
+    return F.to_json(_c(struct_col))
+
+
+def encode_percent(c) -> Column:
+    return F.url_encode(_c(c))
+
+
+def decode_percent(c) -> Column:
+    return F.url_decode(_c(c))
+
+
+# -- Parse extras (parse_url.cue, parse_duration.cue) -------------------
+
+def parse_url(c, part: str = "HOST") -> Column:
+    """parse_url.cue: extract a URL component. part in
+    {PROTOCOL, HOST, PATH, QUERY, REF, USERINFO} or a query key via
+    parse_url_query."""
+    return F.parse_url(_c(c), F.lit(part))
+
+
+def parse_url_query(c, key: str) -> Column:
+    return F.parse_url(_c(c), F.lit("QUERY"), F.lit(key))
+
+
+_DURATION_UNITS = {"ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3,
+                   "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
+
+
+def parse_duration(c, output_unit: str = "s") -> Column:
+    """parse_duration.cue: '300ms' / '1.5h' -> seconds (or the requested
+    unit). Codegen CASE chain over the unit suffix — no UDF."""
+    num = F.regexp_extract(_c(c), r"^([0-9.]+)", 1).cast("double")
+    unit = F.regexp_extract(_c(c), r"([a-zµ]+)$", 1)
+    scale = None
+    for u, mult in _DURATION_UNITS.items():
+        branch = F.when(unit == u, F.lit(mult))
+        scale = branch if scale is None else scale.when(unit == u, F.lit(mult))
+    return num * scale / F.lit(_DURATION_UNITS[output_unit])
+
+
 # -- IP (ip_aton.cue / ip_ntoa.cue subset) ------------------------------
 
 def ip_aton(c) -> Column:

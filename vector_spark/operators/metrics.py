@@ -41,6 +41,47 @@ def metric_to_log(df: DataFrame) -> DataFrame:
     )
 
 
+def aggregate_histogram(
+    df: DataFrame, series_cols: list[str], value_col: str, ts_col: str,
+    interval_secs: int, buckets: list[float],
+) -> DataFrame:
+    """Distribution -> AggregatedHistogram per (window, series)
+    (reference MetricValue::AggregatedHistogram,
+    lib/vector-core/src/event/metric/value.rs:20-83; distribution builder
+    src/transforms/log_to_metric.rs:519-768): cumulative-LE bucket counts
+    + total count + sum. One shuffle (partial+final hash agg); bucket
+    membership is a codegen CASE chain, not a UDF."""
+    v = F.col(value_col).cast("double")
+    win = (F.floor(F.unix_timestamp(F.col(ts_col)) / interval_secs)
+           * interval_secs).cast("long").alias("window_start")
+    aggs = [
+        F.sum(F.when(v <= b, F.lit(1)).otherwise(F.lit(0))).alias(f"le_{str(b).replace('.', '_')}")
+        for b in buckets
+    ] + [
+        F.count(v).alias("count"),
+        F.sum(v).alias("sum"),
+    ]
+    return df.groupBy(win, *series_cols).agg(*aggs)
+
+
+def aggregate_summary(
+    df: DataFrame, series_cols: list[str], value_col: str, ts_col: str,
+    interval_secs: int, quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Distribution -> AggregatedSummary (value.rs:20-83): exact
+    interpolated quantiles per (window, series). Exact percentile is a
+    full-sort-per-group agg — fine for bounded windows; swap to
+    approx_percentile for unbounded cardinality at scale."""
+    v = F.col(value_col).cast("double")
+    win = (F.floor(F.unix_timestamp(F.col(ts_col)) / interval_secs)
+           * interval_secs).cast("long").alias("window_start")
+    aggs = [
+        F.percentile(v, F.lit(q)).alias(f"q{str(q).replace('0.', '')}")
+        for q in quantiles
+    ] + [F.count(v).alias("count"), F.sum(v).alias("sum")]
+    return df.groupBy(win, *series_cols).agg(*aggs)
+
+
 def incremental_to_absolute(
     df: DataFrame, series_cols: list[str], value_col: str, order_by: list[str],
     out_col: str = "value_abs",

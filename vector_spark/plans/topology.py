@@ -56,21 +56,63 @@ class TopologyError(ValueError):
     pass
 
 
+def _cond(spec) -> "F.Column":
+    """Condition dispatch mirroring the reference's condition registry
+    (src/conditions/mod.rs:26-51): a plain string is a VRL-subset
+    expression; {"type": "datadog_search", "source": "..."} selects the
+    Datadog log-search syntax."""
+    if isinstance(spec, dict):
+        kind = spec.get("type", "vrl")
+        if kind == "datadog_search":
+            from vector_spark.functions.ddsearch import compile_ddsearch
+
+            return compile_ddsearch(spec["source"],
+                                    default_field=spec.get("default_field", "text"))
+        if kind == "vrl":
+            return compile_condition(spec["source"])
+        raise TopologyError(f"unknown condition type {kind!r}")
+    return compile_condition(spec)
+
+
 def _build_filter(df: DataFrame, cfg: dict) -> DataFrame:
-    return df.filter(F.coalesce(compile_condition(cfg["condition"]), F.lit(False)))
+    return df.filter(F.coalesce(_cond(cfg["condition"]), F.lit(False)))
 
 
 def _build_remap_parse(df: DataFrame, cfg: dict) -> DataFrame:
     return parse_all(df, text_col=cfg.get("text_col", "text"))
 
 
+def _build_remap_program(df: DataFrame, cfg: dict) -> DataFrame:
+    from vector_spark.functions.remap_lang import remap
+
+    return remap(df, cfg["source"])
+
+
+def _build_grok(df: DataFrame, cfg: dict) -> DataFrame:
+    from vector_spark.functions.grok import parse_grok
+
+    return parse_grok(df, cfg["pattern"], text_col=cfg.get("text_col", "text"),
+                      drop_unmatched=cfg.get("drop_unmatched", False))
+
+
+def _build_line_agg(df: DataFrame, cfg: dict) -> DataFrame:
+    from vector_spark.operators.multiline import line_agg_mode
+
+    return line_agg_mode(
+        df, group_by=cfg.get("group_by", ["conv_id"]),
+        order_col=cfg.get("order_col", "turn_idx"),
+        text_col=cfg.get("text_col", "text"),
+        condition=_cond(cfg["condition"]), mode=cfg["mode"],
+        joiner=cfg.get("joiner", "\n"))
+
+
 def _build_route(df: DataFrame, cfg: dict) -> dict[str, DataFrame]:
-    conds = {name: compile_condition(c) for name, c in cfg["routes"].items()}
+    conds = {name: _cond(c) for name, c in cfg["routes"].items()}
     return route(df, conds, reroute_unmatched=cfg.get("reroute_unmatched", True))
 
 
 def _build_exclusive_route(df: DataFrame, cfg: dict) -> dict[str, DataFrame]:
-    conds = {name: compile_condition(c) for name, c in cfg["routes"].items()}
+    conds = {name: _cond(c) for name, c in cfg["routes"].items()}
     labeled = exclusive_route(df, conds)
     out = {name: labeled.filter(F.col("route") == name).drop("route") for name in conds}
     out[UNMATCHED] = labeled.filter(F.col("route") == UNMATCHED).drop("route")
@@ -107,6 +149,9 @@ def _build_reduce(df: DataFrame, cfg: dict) -> DataFrame:
 TRANSFORMS: dict[str, Callable] = {
     "filter": _build_filter,
     "remap_parse": _build_remap_parse,
+    "remap": _build_remap_program,
+    "parse_grok": _build_grok,
+    "line_agg": _build_line_agg,
     "route": _build_route,
     "exclusive_route": _build_exclusive_route,
     "dedupe": _build_dedupe,
@@ -226,6 +271,16 @@ class Topology:
                 df.createOrReplaceTempView(cfg.get("view", name))
                 counts[name] = df.count()
             elif kind == "noop":
+                counts[name] = df.count()
+            elif kind == "file":
+                from vector_spark.sinks.file_sink import file_sink
+
+                path = cfg.get("path") or os.path.join(out_dir or ".", name)
+                file_sink(df, path, template=cfg.get("template"),
+                          fmt=cfg.get("format", "parquet"),
+                          encode_cols=cfg.get("encode_cols"),
+                          ts_col=cfg.get("ts_col", "ts"),
+                          max_records_per_file=cfg.get("max_records_per_file"))
                 counts[name] = df.count()
             else:
                 raise TopologyError(f"unknown sink type {kind!r}")
