@@ -81,3 +81,11 @@ def enrich_range(
         df.join(F.broadcast(table), cond, how)
         .drop(table[on]).drop(table[from_col]).drop(table[to_col])
     )
+
+
+def enrich_static(df: DataFrame, values: dict) -> DataFrame:
+    """Static metadata enrichment: stamp constant fields onto every event
+    (reference aws_ec2_metadata transform, src/transforms/aws_ec2_metadata.rs:91
+    — instance metadata fetched once on the driver, applied per event).
+    Pure literal projection: zero shuffle, zero join."""
+    return df.withColumns({k: F.lit(v) for k, v in values.items()})
