@@ -64,3 +64,52 @@ def test_feedback_loop_batches(spark, table):
     # lookup before any snapshot exists is a no-op passthrough
     empty = MemoryTable(spark, table.path + "_none", key="tool")
     assert empty.lookup(batch2, on="tool").columns == batch2.columns
+
+
+def test_streaming_feedback_loop(spark, tmp_path):
+    """Batch K's lookups see exactly the keys batches < K wrote
+    (reference memory table feedback: src/enrichment_tables/memory/)."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from vector_spark.streaming.memory_feedback import run_memory_feedback
+
+    def write_batch(name, rows):
+        src = str(tmp_path / "src")
+        os.makedirs(src, exist_ok=True)
+        pq.write_table(pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["tool"] * len(rows), pa.string()),
+            "text": pa.array(["x"] * len(rows), pa.string()),
+            "tool": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        }), os.path.join(src, name))
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 1, 1, 1)
+    # two files => two micro-batches (maxFilesPerTrigger=1)
+    write_batch("b0.parquet", [("c1", 0, "bash", t0), ("c1", 1, "bash", t0)])
+    write_batch("b1.parquet", [("c2", 0, "bash", t1), ("c2", 1, "web", t1)])
+
+    table = run_memory_feedback(
+        spark, str(tmp_path / "src"), str(tmp_path / "table"),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"))
+
+    ev = spark.read.parquet(str(tmp_path / "out/events"))
+    by_batch = {(r["conv_id"], r["tool"]): r for r in ev.collect()}
+    # batch 0: table empty -> no annotation columns joined (left join nulls)
+    assert by_batch[("c1", "bash")]["seen_count"] is None
+    # batch 1: sees batch-0 state for 'bash', nothing for new 'web'
+    assert by_batch[("c2", "bash")]["seen_count"] == 2
+    assert by_batch[("c2", "web")]["seen_count"] is None
+
+    # final table state accumulated across batches
+    snap = {r["tool"]: r for r in table.snapshot().collect()}
+    assert snap["bash"]["seen_count"] == 3
+    assert snap["bash"]["first_seen_ts"] == t0
+    assert snap["web"]["seen_count"] == 1

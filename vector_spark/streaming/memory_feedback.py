@@ -1,0 +1,93 @@
+"""Streaming memory-table feedback loop.
+
+Reference: the ``memory`` enrichment table (src/enrichment_tables/memory/,
+config.rs:27) is simultaneously a sink (the pipeline writes keys into it)
+and a lookup table for later events — a feedback loop through mutable
+shared state.
+
+Spark mapping (SURVEY.md §2.6): inside ``foreachBatch``, each micro-batch
+1. LOOKS UP the table's current snapshot (broadcast join) to annotate
+   events with state written by earlier batches, then
+2. MERGES this batch's updates (latest-per-key) into a new snapshot
+   version behind an atomic CURRENT-pointer flip (operators/memory_table).
+
+Events in batch K therefore see exactly the keys written by batches < K —
+the same read-your-earlier-writes semantics as the reference's in-memory
+table, but with durable versioned snapshots (resume keeps the state) and
+per-batch re-broadcast.
+
+Scale: the table is an enrichment table (small by contract); the merge is
+a driver-coordinated small job per batch and the event stream only ever
+does broadcast lookups — the big side never shuffles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_spark.operators.memory_table import MemoryTable
+
+
+def run_memory_feedback(
+    spark: SparkSession, src_dir: str, table_path: str, out_dir: str,
+    checkpoint_dir: str, key: str = "tool", ts_col: str = "ts",
+    ttl_secs: int | None = None,
+) -> MemoryTable:
+    """Drain a file-stream of transcripts through the feedback loop:
+    annotate each event with the table's previous knowledge of its ``key``
+    (first_seen_ts, seen_count so far), then fold this batch into the
+    table. Output parquet rows carry the annotation; returns the table.
+    """
+    from vector_spark.streaming.stream_pipeline import stream_transcripts
+
+    table = MemoryTable(spark, table_path, key=key, ttl_secs=ttl_secs,
+                        ts_col="updated_at")
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.filter(F.col(key).isNotNull())
+        # 1. lookup: state as of the PREVIOUS batch. With no snapshot yet,
+        # stamp typed NULL annotation columns so every epoch's parquet
+        # shares one schema (no reliance on merge-time schema evolution).
+        if table.snapshot() is None:
+            annotated = batch_df.withColumns({
+                "updated_at": F.lit(None).cast("timestamp"),
+                "first_seen_ts": F.lit(None).cast("timestamp"),
+                "seen_count": F.lit(None).cast("long"),
+            })
+        else:
+            annotated = table.lookup(batch_df, on=key, as_of=ts_col)
+        (annotated.withColumn("epoch_id", F.lit(epoch_id))
+         .write.mode("append").parquet(os.path.join(out_dir, "events")))
+        # 2. merge: fold this batch's keys into the table
+        updates = (batch_df.groupBy(key).agg(
+            F.max(ts_col).alias("updated_at"),
+            F.min(ts_col).alias("first_seen_ts"),
+            F.count(F.lit(1)).alias("seen_count")))
+        prev = table.snapshot()
+        if prev is not None:
+            # accumulate counts / keep earliest first_seen across batches
+            merged = (updates.alias("u").join(
+                prev.select(key, F.col("first_seen_ts").alias("p_first"),
+                            F.col("seen_count").alias("p_count")).alias("p"),
+                on=key, how="left")
+                .select(
+                    key,
+                    F.col("updated_at"),
+                    F.least(F.col("first_seen_ts"),
+                            F.col("p_first")).alias("first_seen_ts"),
+                    (F.col("seen_count")
+                     + F.coalesce(F.col("p_count"), F.lit(0))).alias("seen_count"),
+                ))
+        else:
+            merged = updates
+        table.merge(merged)
+
+    q = (stream_transcripts(spark, src_dir, max_files_per_trigger=1)
+         .writeStream.foreachBatch(process_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return table
