@@ -1,0 +1,70 @@
+"""Streaming throttle tests (streaming/throttle_stream.py) + the batch
+exclude-bypass fix (reference throttle/transform.rs:22-137: excluded
+events bypass rate limiting WITHOUT consuming bucket tokens)."""
+
+import datetime
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.operators.throttle import throttle
+from vector_spark.streaming.stream_pipeline import TRANSCRIPT_SCHEMA
+from vector_spark.streaming.throttle_stream import streaming_throttle
+
+T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(secs):
+    return T0 + datetime.timedelta(seconds=secs)
+
+
+def test_batch_exclude_does_not_consume_budget(spark):
+    rows = [("k", i, "sys" if i < 2 else "user", _ts(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, ["key", "seq", "role", "ts"])
+    out = throttle(df, key="key", ts_col="ts", window_secs=3600, threshold=2,
+                   order_by=["seq"], exclude=F.col("role") == "sys")
+    kept = sorted(r["seq"] for r in out.collect())
+    # 2 excluded (seq 0,1) pass through + first 2 NON-excluded (seq 2,3)
+    assert kept == [0, 1, 2, 3]
+
+
+def _write(dirpath, name, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    pq.write_table(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array(["user"] * len(rows), pa.string()),
+        "text": pa.array(["x"] * len(rows), pa.string()),
+        "tool": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+    }), os.path.join(dirpath, name))
+
+
+def test_streaming_throttle_state_spans_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # window = 1h, threshold = 3 per tool.
+    # batch 1: 2 'bash' events in window 0
+    _write(src, "b0.parquet", [("c1", 0, "bash", _ts(0)), ("c1", 1, "bash", _ts(10))])
+    # batch 2: 3 more 'bash' in the SAME window (only 1 admitted: 2 carried),
+    # plus 2 'web' (fresh key, both admitted)
+    _write(src, "b1.parquet", [("c1", 2, "bash", _ts(20)), ("c1", 3, "bash", _ts(30)),
+                               ("c1", 4, "bash", _ts(40)),
+                               ("c2", 0, "web", _ts(5)), ("c2", 1, "web", _ts(6))])
+    # batch 3: next window resets the bash budget
+    _write(src, "b2.parquet", [("c1", 5, "bash", _ts(3700))])
+
+    stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_throttle(stream, key_cols=["tool"], window_secs=3600,
+                             threshold=3, watermark="0 seconds")
+    q = (out.writeStream.format("memory").queryName("thr")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    kept = sorted((r["tool"], r["turn_idx"])
+                  for r in spark.sql("select * from thr").collect())
+    assert kept == [("bash", 0), ("bash", 1), ("bash", 2),  # 3 admitted in w0
+                    ("bash", 5),                             # new window
+                    ("web", 0), ("web", 1)]

@@ -22,8 +22,11 @@ def throttle(
     win = F.floor(F.unix_timestamp(F.col(ts_col)) / window_secs)
     order_by = order_by or [ts_col]
     w = Window.partitionBy(F.col(key), win).orderBy(*[F.col(c) for c in order_by])
-    out = df.withColumn("__rn", F.row_number().over(w))
-    keep = F.col("__rn") <= threshold
-    if exclude is not None:
-        keep = keep | F.coalesce(exclude, F.lit(False))
-    return out.filter(keep).drop("__rn")
+    excl = (F.coalesce(exclude, F.lit(False)) if exclude is not None
+            else F.lit(False))
+    # excluded rows bypass AND don't consume budget (transform.rs: exclude
+    # short-circuits before the bucket): count only non-excluded rows
+    cnt = F.sum(F.when(excl, 0).otherwise(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    out = df.withColumn("__keep", excl | (cnt <= threshold))
+    return out.filter(F.col("__keep")).drop("__keep")

@@ -1,0 +1,75 @@
+"""Streaming throttle: keyed rate limit with real state.
+
+Reference: throttle transform (src/transforms/throttle/transform.rs:22-137)
+— GCRA token bucket, at most ``threshold`` events per ``window_secs`` per
+key, excess dropped. Batch mode reinterprets this as event-time windows
+(operators/throttle.py); the streaming form needs carried state: a window
+can span micro-batches, so the per-(key, window) count must survive
+between triggers.
+
+Spark mapping: ``applyInPandasWithState`` grouped by key. State =
+(current window, events admitted in it) — O(1) per key. Rows are folded
+vectorized (pandas groupby-cumcount per window + carry), kept rows are
+emitted with the input schema, and state times out once the watermark
+passes the window end.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "win long, cnt long"
+
+
+def _throttle_fn(window_secs: int, threshold: int, ts_col: str):
+    win_ms = window_secs * 1000
+
+    def fn(key: Tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        carry_win, carry_cnt = state.get if state.exists else (-1, 0)
+        pdf = pd.concat(list(pdfs)).sort_values(ts_col)
+        ts_ms = pdf[ts_col].astype("int64") // 1_000_000
+        win = ts_ms // win_ms
+
+        # vectorized running count per window, seeded with the carried
+        # count when this batch continues the state's open window
+        cum = win.groupby(win).cumcount() + 1
+        cum = cum + (win == carry_win) * carry_cnt
+        keep = cum <= threshold
+        out = pdf[keep.to_numpy()]
+
+        # admitted-in-window = min(carry + batch count, threshold); late
+        # rows for an already-superseded window would get a fresh budget
+        # (documented delta — the reference's wall-clock bucket can't see
+        # late data at all)
+        last_win = int(win.iloc[-1])
+        total_last = int(cum[win == last_win].max())
+        state.update((last_win, min(total_last, threshold)))
+        state.setTimeoutTimestamp((last_win + 1) * win_ms)
+        if len(out):
+            yield out
+
+    return fn
+
+
+def streaming_throttle(
+    stream: DataFrame, key_cols: list[str], window_secs: int, threshold: int,
+    ts_col: str = "ts", watermark: str = "10 minutes",
+) -> DataFrame:
+    """Keyed streaming rate limit; output schema == input schema."""
+    staged = stream.withWatermark(ts_col, watermark)
+    return staged.groupBy(*key_cols).applyInPandasWithState(
+        _throttle_fn(window_secs, threshold, ts_col),
+        outputStructType=stream.schema,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
