@@ -77,11 +77,11 @@ def _get_session(cpus: int, executors: int | None = None):
     # 100TB input arrives as many files, so small splits here reproduce
     # the real file-level parallelism, not an artificial bottleneck.
     confs = {"spark.sql.files.maxPartitionBytes": "1m",
-             "spark.sql.files.openCostInBytes": "262144",
-             # string-heavy parse allocates ~1KB/row; give the heap room
-             # so GC keeps up at high thread counts
-             "spark.driver.memory": "8g"}
+             "spark.sql.files.openCostInBytes": "262144"}
     if executors is None:
+        # in local[K] the driver IS the executor: string-heavy parse
+        # allocates ~1KB/row, so give the shared heap room for 32 threads
+        confs["spark.driver.memory"] = "16g"
         master = f"local[{cpus}]"
     else:
         # real separate executor JVMs — the faithful substitute for the
