@@ -54,7 +54,18 @@ def main() -> None:
     if args.mode == "streaming":
         from vector_spark.streaming.stream_pipeline import run_streaming_fanout
 
-        src = args.input or os.path.dirname(ensure_transcripts(args.sf))
+        # the fixture dir holds every scale's parquet and the file-stream
+        # source requires a directory — stage a per-sf dir holding just
+        # the requested file (symlink; cheap and idempotent)
+        if args.input:
+            src = args.input
+        else:
+            fixture = ensure_transcripts(args.sf)
+            src = os.path.join(os.path.dirname(fixture), f"stream_{args.sf}")
+            os.makedirs(src, exist_ok=True)
+            link = os.path.join(src, os.path.basename(fixture))
+            if not os.path.exists(link):
+                os.symlink(fixture, link)
         run_streaming_fanout(spark, src, args.out,
                              os.path.join(args.out, "_checkpoint"), available_now=True)
         from pyspark.sql import functions as F
