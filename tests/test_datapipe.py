@@ -63,6 +63,30 @@ def test_ngram_jaccard_exact_dups_have_j1(planted):
     assert all(r.jaccard == 1.0 for r in rows if r.id2 >= 900000)
 
 
+def test_ngram_df_cap_kills_stop_shingle_pairs(spark):
+    """Adversarial stop-shingle corpus: every doc shares one hot shingle
+    ('the quick fox'), which without a df-cap creates O(n^2) candidate
+    pairs. With max_df, the hot shingle leaves the universe and only the
+    genuinely-similar pair survives."""
+    n = 40
+    docs = [(i, f"the quick fox unique{i} alpha{i} beta{i} gamma{i}") for i in range(n)]
+    # one real near-dup pair sharing 4 distinct rare shingles
+    docs += [(1000, "zeta eta theta iota kappa lam mu"),
+             (1001, "zeta eta theta iota kappa lam nu")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = ngram_jaccard_pairs(df, min_shared=2, max_df=5).collect()
+    got = {(r.id1, r.id2) for r in capped}
+    assert got == {(1000, 1001)}, got
+    # uncapped: the stop-shingle alone doesn't reach min_shared=2, but at
+    # min_shared=1 it yields every cross pair — the blowup the cap prevents
+    uncapped = ngram_jaccard_pairs(df, min_shared=1).count()
+    assert uncapped >= n * (n - 1) / 2
+    # and the capped universe recomputes n1/n2 consistently: the surviving
+    # pair's sizes exclude nothing (its shingles are all rare)
+    r = ngram_jaccard_pairs(df, min_shared=2, max_df=5).first()
+    assert r.n_shared == 4 and r.n1 == 5 and r.n2 == 5
+
+
 def test_simhash_exact_dups_have_hamming0(planted):
     rows = simhash_pairs(planted, max_hamming=0).collect()
     assert {(r.id1, r.id2) for r in rows} >= {(i, i + 900000) for i in range(5)}

@@ -42,6 +42,31 @@ def test_parsed_fields_match_oracle(spark, ddb, tpath):
     assert_df_equal(df, rel, sort_cols=["conv_id", "turn_idx"])
 
 
+def test_failed_parse_yields_all_null_fields(spark):
+    """NULL-on-failed-parse contract of the public parse_* functions: a
+    non-matching line must yield NULL in EVERY field — not the raw line
+    in field 0 (the regexp_replace-no-op regression)."""
+    from vector_spark.functions.parse import parse_apache, parse_logfmt, parse_syslog
+
+    df = spark.createDataFrame(
+        [("just some freeform text",), ('1.2.3.4 - bob [x] "GET /a HTTP/1.0" 200',)],
+        "text string",
+    )
+    for fn in (parse_apache, parse_syslog, parse_logfmt):
+        out = df.select(*[c.alias(k) for k, c in fn(F.col("text")).items()])
+        for row in out.collect():
+            assert all(v is None for v in row.asDict().values()), (fn.__name__, row)
+
+
+def test_parse_still_extracts_on_match(spark):
+    from vector_spark.functions.parse import parse_apache
+
+    line = '10.0.0.1 - alice [12/Mar/2025:08:00:00 +0000] "GET /x HTTP/1.1" 200 512'
+    df = spark.createDataFrame([(line,)], "text string")
+    row = df.select(*[c.alias(k) for k, c in parse_apache(F.col("text")).items()]).first()
+    assert row["ip"] == "10.0.0.1" and row["status"] == 200 and row["bytes"] == 512
+
+
 def test_route_duplication_semantics(spark):
     """An event matching several conditions lands in each route
     (route.rs test route_pass_all_route_conditions)."""

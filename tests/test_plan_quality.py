@@ -77,6 +77,24 @@ def test_partial_aggregation_before_shuffle(spark, tpath):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_flagship_counts_read_written_parquet_not_pipeline(spark, tpath, tmp_path):
+    """run_flagship must execute the parse->enrich->route pipeline exactly
+    once: its counts come from the just-written sinks parquet (partition
+    column + footers), never a second full pipeline pass."""
+    from vector_spark.plans.pipeline import counts_from_written, run_flagship
+
+    out = str(tmp_path / "flag")
+    counts = run_flagship(spark, SF, out_dir=out)
+    assert set(counts) == {"errors", "tool_calls", "http", "_unmatched"}
+    cdf = counts_from_written(spark, out + "/sinks")
+    plan = _plan(cdf)
+    # the counts plan scans ONLY the written sinks dir — no transcripts
+    # scan, no regex parse, no joins
+    assert tpath not in plan
+    assert "regexp_replace" not in plan and "BroadcastHashJoin" not in plan
+    assert {r["route"]: r["n"] for r in cdf.collect()} == counts
+
+
 def test_whole_stage_codegen_covers_parse(spark, tpath):
     df = parsed_enriched(spark, SF)
     df.collect()  # finalize the AQE plan so codegen spans materialize

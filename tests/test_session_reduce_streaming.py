@@ -45,7 +45,7 @@ def _run(spark, src_dir, out_name, gap_secs=1800):
         gap_secs=gap_secs, watermark="0 seconds")
     q = (sessions.writeStream.format("memory").queryName(out_name)
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    q.awaitTermination()  # availableNow self-terminates; bounded waits flake under load
     return {(r["conv_id"], r["session_id"]): r
             for r in spark.sql(f"select * from {out_name}").collect()}
 
@@ -80,6 +80,41 @@ def test_state_carries_across_microbatches(spark, tmp_path):
     s = got[("c9", 0)]
     assert (s["n_events"], s["first_turn"], s["last_turn"]) == (3, 0, 2)
     assert s["ended_by"] == "condition"
+
+
+def test_seq_survives_batch_ending_on_close(spark, tmp_path):
+    """A micro-batch that ends exactly on an ends_when row must NOT reset
+    the session counter: rows in the next batch open session 1, not a
+    second session 0 (round-1 ADVICE defect)."""
+    src = str(tmp_path / "src4")
+    _write_batch(src, "b0.parquet", [
+        ("c7", 0, "hello", _ts(0)), ("c7", 1, "bye", _ts(1))])
+    _write_batch(src, "b1.parquet", [
+        ("c7", 2, "back again", _ts(2)), ("c7", 3, "bye again", _ts(3))])
+    got = _run(spark, src, "sess_d")
+    assert set(got) == {("c7", 0), ("c7", 1)}
+    s0, s1 = got[("c7", 0)], got[("c7", 1)]
+    assert (s0["first_turn"], s0["last_turn"], s0["n_events"]) == (0, 1, 2)
+    assert (s1["first_turn"], s1["last_turn"], s1["n_events"]) == (2, 3, 2)
+    assert s1["ended_by"] == "condition"
+
+
+def test_seq_survives_timeout_flush_grace(spark, tmp_path):
+    """After a timeout flush, a conversation resuming within the grace
+    cycle continues numbering at seq+1 instead of reusing session 0."""
+    src = str(tmp_path / "src5")
+    _write_batch(src, "b0.parquet", [("c8", 0, "opens", _ts(0))])
+    # advance watermark past c8's gap so it timeout-flushes as session 0
+    _write_batch(src, "b1.parquet", [("c6", 0, "clock a", _ts(30))])
+    # spacer batch with no c8 data: the c8 timeout fires HERE
+    _write_batch(src, "b2.parquet", [("c6", 1, "clock b", _ts(31))])
+    # c8 resumes within the grace window and closes by condition
+    _write_batch(src, "b3.parquet", [
+        ("c8", 1, "resumes", _ts(32)), ("c8", 2, "bye", _ts(33))])
+    got = _run(spark, src, "sess_e", gap_secs=600)
+    assert got[("c8", 0)]["ended_by"] == "timeout"
+    s1 = got[("c8", 1)]
+    assert (s1["first_turn"], s1["last_turn"], s1["ended_by"]) == (1, 2, "condition")
 
 
 def test_timeout_flushes_stale_session(spark, tmp_path):

@@ -65,16 +65,31 @@ def with_shingles(df: DataFrame, id_col: str = "doc_id", text: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text: str = "text",
                         k: int = SHINGLE_K, min_jaccard: float = 0.0,
-                        min_shared: int = 2) -> DataFrame:
+                        min_shared: int = 2, max_df: int | None = None) -> DataFrame:
     """Candidate near-dup pairs by shared k-shingles + exact Jaccard.
 
     Plan shape: explode(shingles) -> shuffle on shingle -> pair counts ->
     join back doc sizes. No cross join; cost is sum over shingles of
     (docs-per-shingle choose 2), the standard inverted-index bound.
+
+    ``max_df``: drop shingles whose document frequency exceeds it BEFORE
+    the self-join. Without this, one stop-shingle shared by 10^6 docs
+    makes the pair count explode (sum df^2) — the round-1 scale-killer.
+    The cap defines the operator's universe: capped shingles are excluded
+    from n1/n2 AND n_shared, so jaccard stays exact over the filtered
+    universe (both the Spark side and the DuckDB oracle implement this
+    identically). The hot-shingle set is tiny by construction (only
+    shingles with df > max_df), so it broadcasts.
     """
-    sh = with_shingles(df, id_col, text, k).withColumn("n_sh", F.size("shingles"))
-    sizes = sh.select(F.col(id_col), "n_sh")
+    sh = with_shingles(df, id_col, text, k)
     ex = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        hot = (ex.groupBy("shingle").agg(F.count("*").alias("df"))
+               .where(F.col("df") > max_df).select("shingle"))
+        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
+        sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    else:
+        sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, on="shingle")

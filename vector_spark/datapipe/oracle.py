@@ -96,10 +96,22 @@ def dedup_exact_sql() -> str:
     FROM documents GROUP BY md5(text)"""
 
 
-def ngram_jaccard_sql(min_shared: int = 2) -> str:
+def ngram_jaccard_sql(min_shared: int = 2, max_df: int | None = None) -> str:
+    """Mirrors dedup.ngram_jaccard_pairs incl. the document-frequency cap:
+    shingles with df > max_df leave the universe (excluded from n1/n2 and
+    n_shared alike)."""
+    ex_filter = ""
+    if max_df is not None:
+        ex_filter = (f", ex AS (SELECT doc_id, shingle FROM ex0 "
+                     f"WHERE shingle NOT IN (SELECT shingle FROM ex0 "
+                     f"GROUP BY shingle HAVING count(*) > {max_df}))")
+        sz = "sz AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id)"
+    else:
+        ex_filter = ", ex AS (SELECT doc_id, shingle FROM ex0)"
+        sz = "sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)"
     return f"""WITH {AUG_DOCS}, {SHINGLES_CTE},
-      sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
-      ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh){ex_filter},
+      {sz},
       p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
             FROM ex a JOIN ex b USING (shingle)
             WHERE a.doc_id < b.doc_id

@@ -497,7 +497,11 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    return (ngram_jaccard_pairs(_aug_documents(spark, sf_dir), min_shared=2)
+    # max_df=10 is deliberately low enough to trigger on the sf0.01
+    # fixture (max observed shingle df there is 14) so the driver
+    # oracle-checks the df-cap semantics, not just the uncapped path
+    return (ngram_jaccard_pairs(_aug_documents(spark, sf_dir), min_shared=2,
+                                max_df=10)
             .select("id1", "id2", "n_shared",
                     F.col("n1").cast("long").alias("n1"),
                     F.col("n2").cast("long").alias("n2"), "jaccard"))
@@ -853,13 +857,16 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
              CAST(length(text) AS BIGINT) AS text_len
       FROM parsed"""
 
+    # NB: DuckDB sum(INTEGER) returns HUGEINT which lands in pandas as
+    # float64 — cast to BIGINT so the value hash sees int64 on both sides
+    # (this was the round-1 agg_histogram hash mismatch).
     o["agg_histogram"] = """SELECT
         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
         event_type,
-        sum(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) AS le_10_0,
-        sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS le_50_0,
-        sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS le_100_0,
-        sum(CASE WHEN value <= 500.0 THEN 1 ELSE 0 END) AS le_500_0,
+        CAST(sum(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS le_10_0,
+        CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS le_50_0,
+        CAST(sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS le_100_0,
+        CAST(sum(CASE WHEN value <= 500.0 THEN 1 ELSE 0 END) AS BIGINT) AS le_500_0,
         count(value) AS count, round(sum(value), 6) AS sum
       FROM events GROUP BY 1, 2"""
 
@@ -916,7 +923,7 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
     o["text_lang_id"] = dp_oracle.lang_id_sql()
     o["text_fingerprint"] = dp_oracle.fingerprint_sql()
     o["dedup_exact"] = dp_oracle.dedup_exact_sql()
-    o["dedup_ngram_jaccard"] = dp_oracle.ngram_jaccard_sql(min_shared=2)
+    o["dedup_ngram_jaccard"] = dp_oracle.ngram_jaccard_sql(min_shared=2, max_df=10)
     o["dedup_minhash_lsh"] = dp_oracle.minhash_lsh_sql()
     o["dedup_simhash"] = dp_oracle.simhash_sql()
     o["dedup_embedding_cosine"] = dp_oracle.embedding_neardup_sql(min_cosine=0.35)

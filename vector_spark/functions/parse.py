@@ -56,18 +56,37 @@ def _grp(text: Column, pattern: str, idx: int) -> Column:
 _SEP = "\x01"
 
 
+def _raw_arr(text: Column, pattern: str, n_groups: int) -> Column:
+    """ONE regex pass: rewrite the (anchored) match to all groups joined
+    by a LEADING separator, then split. A match yields n_groups+1 parts
+    (empty head); a non-match leaves the line untouched -> 1 part — so
+    match failure is detectable from the array size without a second
+    rlike pass (same trick as functions/grok.py)."""
+    repl = _SEP + _SEP.join(f"${i}" for i in range(1, n_groups + 1))
+    return F.split(F.regexp_replace(text, pattern, repl), _SEP)
+
+
+def _checked_arr(raw: Column, n_groups: int) -> Column:
+    """Group array from a ``_raw_arr`` result: NULL array when the line
+    did not match, '' fields normalized to NULL. Without the size guard,
+    field 0 of a failed parse silently became the raw line (round-1
+    ADVICE regression)."""
+    checked = F.when(F.size(raw) == n_groups + 1, F.slice(raw, 2, n_groups))
+    return F.transform(checked, lambda x: F.nullif(x, F.lit("")))
+
+
 def _grp_all(text: Column, pattern: str, n_groups: int) -> list[Column]:
-    repl = _SEP.join(f"${i}" for i in range(1, n_groups + 1))
-    arr = F.split(F.regexp_replace(text, pattern, repl), _SEP)
-    return [F.nullif(arr[i], F.lit("")) for i in range(n_groups)]
+    arr = _grp_arr(text, pattern, n_groups)
+    return [arr[i] for i in range(n_groups)]
 
 
 def _grp_arr(text: Column, pattern: str, n_groups: int) -> Column:
-    """All groups of one anchored match as an array (one regex pass),
-    '' normalized to NULL."""
-    repl = _SEP.join(f"${i}" for i in range(1, n_groups + 1))
-    arr = F.split(F.regexp_replace(text, pattern, repl), _SEP)
-    return F.transform(arr, lambda x: F.nullif(x, F.lit("")))
+    """All groups of one anchored match as an array, NULL on non-match.
+    Standalone form: the raw split appears twice in the guard expression
+    (codegen subexpression elimination dedupes it at runtime); the hot
+    parse_all path stages the raw array in its own projection instead so
+    even the logical plan carries one regex per format."""
+    return _checked_arr(_raw_arr(text, pattern, n_groups), n_groups)
 
 
 def parse_apache(text: Column) -> dict[str, Column]:
@@ -161,15 +180,25 @@ def parse_all(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     t = F.col(text_col)
     kind = classify(t)
+    # stage 1a: ONE guarded regex pass per format -> raw split arrays
+    # (null for other kinds). The raw array is staged in its OWN
+    # projection so the size-guard in stage 1b references a column, not a
+    # re-inlined copy of the regex (CollapseProject keeps the split
+    # because it's a non-cheap alias referenced twice).
+    raw = {
+        "__ap_raw": F.when(kind == "apache_common", _raw_arr(t, APACHE_RE, 9)),
+        "__sl_raw": F.when(kind == "syslog5424", _raw_arr(t, SYSLOG_RE, 8)),
+        "__lf_raw": F.when(kind == "logfmt", _raw_arr(t, LOGFMT_RE, 4)),
+    }
+    # stage 1b: guarded group arrays (NULL array on failed parse) + json
     stage1 = {
         "kind": kind,
-        # guarded single-pass group arrays (null for other kinds)
-        "__ap": F.when(kind == "apache_common", _grp_arr(t, APACHE_RE, 9)),
-        "__sl": F.when(kind == "syslog5424", _grp_arr(t, SYSLOG_RE, 8)),
-        "__lf": F.when(kind == "logfmt", _grp_arr(t, LOGFMT_RE, 4)),
+        "__ap": _checked_arr(F.col("__ap_raw"), 9),
+        "__sl": _checked_arr(F.col("__sl_raw"), 8),
+        "__lf": _checked_arr(F.col("__lf_raw"), 4),
         "__js": F.when(kind == "json", F.from_json(t, JSON_SCHEMA)),
     }
-    out = df.withColumns(stage1)
+    out = df.withColumns(raw).withColumns(stage1)
 
     ap, sl, lf, js = F.col("__ap"), F.col("__sl"), F.col("__lf"), F.col("__js")
     cols: dict[str, Column] = {
@@ -204,4 +233,4 @@ def parse_all(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = out.withColumns(cols)
     return out.withColumn(
         "status_any", F.coalesce(F.col("status"), F.col("json_status"))
-    ).drop("__ap", "__sl", "__lf", "__js")
+    ).drop("__ap", "__sl", "__lf", "__js", "__ap_raw", "__sl_raw", "__lf_raw")

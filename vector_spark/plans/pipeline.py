@@ -77,17 +77,30 @@ def sink_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def counts_from_written(spark: SparkSession, sinks_dir: str) -> DataFrame:
+    """Per-sink counts read back from an already-written sinks directory.
+    `route` is the partition column, so this is a footer-metadata count —
+    no re-parse, no re-shuffle of the transcripts."""
+    return spark.read.parquet(sinks_dir).groupBy("route").agg(F.count("*").alias("n"))
+
+
 def run_flagship(spark: SparkSession, sf: str, out_dir: str | None = None) -> dict[str, int]:
     """End-to-end batch job: parse -> enrich -> route -> write one dir per
     sink (exclusive-route style partitionBy write on the exploded routes —
     single pass, no N-fold rescan) -> per-sink counts.
 
-    Returns {route: row_count} from the write-side metrics table, the
-    Spark analogue of component_sent_events_total
-    (reference docs/specs/component.md:125,223).
+    Returns {route: row_count} — the Spark analogue of
+    component_sent_events_total (reference docs/specs/component.md:125,223).
+    When writing, counts come from the just-written parquet (partition
+    column + footer row counts only), so the whole job runs the
+    parse->enrich->route pipeline exactly ONCE; the round-1 version
+    re-executed the full pipeline a second time for the counts.
     """
     df = routed(spark, sf)
     if out_dir:
-        (df.write.mode("overwrite").partitionBy("route").parquet(os.path.join(out_dir, "sinks")))
-    counts = {r["route"]: r["n"] for r in df.groupBy("route").agg(F.count("*").alias("n")).collect()}
-    return counts
+        sinks_dir = os.path.join(out_dir, "sinks")
+        df.write.mode("overwrite").partitionBy("route").parquet(sinks_dir)
+        counts_df = counts_from_written(spark, sinks_dir)
+    else:
+        counts_df = df.groupBy("route").agg(F.count("*").alias("n"))
+    return {r["route"]: r["n"] for r in counts_df.collect()}

@@ -22,6 +22,13 @@ Scale: state per open conversation is O(1) (running aggregates, never
 the row buffer), partitioned across executors by conv_id — 10^9 open
 conversations is ~tens of GB of state store, spilled/snapshotted by the
 HDFS/RocksDB state backend.
+
+Session-id uniqueness: the per-conversation sequence counter survives
+batch-boundary closes and one grace cycle past a timeout flush (state
+keeps an empty record + cleanup timeout instead of remove()). A
+conversation resuming more than ``gap_secs`` after that cleanup restarts
+numbering at 0; consumers needing a globally unique session key should
+use (conv_id, first_turn), which is unique unconditionally.
 """
 
 from __future__ import annotations
@@ -64,11 +71,19 @@ def _session_fn(gap_secs: int):
         seq, n, ft, lt, fts, lts = state.get if state.exists else _EMPTY
 
         if state.hasTimedOut:
-            out = ([_emit(conv_id, seq, n, ft, lt, fts, lts, "timeout")]
-                   if n else [])
-            state.remove()
-            if out:
-                yield pd.DataFrame(out)
+            if n:
+                # flush the stale open session, then keep the sequence
+                # counter alive for one grace cycle so a conversation
+                # resuming shortly after the flush does not reuse
+                # session ids (round-1 ADVICE: remove() here reset seq
+                # to 0 -> duplicate (conv_id, session_id) keys).
+                state.update((seq + 1, 0, -1, -1, 0, 0))
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_ms)
+                yield pd.DataFrame(
+                    [_emit(conv_id, seq, n, ft, lt, fts, lts, "timeout")])
+            else:
+                # empty grace record: numbering cycle done, drop state
+                state.remove()
             return
 
         import numpy as np
@@ -101,7 +116,14 @@ def _session_fn(gap_secs: int):
             state.update((seq, n, ft, lt, fts, lts))
             state.setTimeoutTimestamp(lts + gap_ms)
         else:
-            state.remove()
+            # micro-batch ended exactly on an ends_when close: PRESERVE
+            # the sequence counter (an empty-session grace record with a
+            # cleanup timeout) instead of remove(), so the conversation's
+            # next session numbers seq, not 0 (round-1 ADVICE fix).
+            last_ms = int(ts_ms[-1]) if len(ts_ms) else 0
+            state.update((seq, 0, -1, -1, 0, 0))
+            state.setTimeoutTimestamp(
+                max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1))
         if out:
             yield pd.DataFrame(out)
 

@@ -53,7 +53,11 @@ def _throttle_fn(window_secs: int, threshold: int, ts_col: str):
         last_win = int(win.iloc[-1])
         total_last = int(cum[win == last_win].max())
         state.update((last_win, min(total_last, threshold)))
-        state.setTimeoutTimestamp((last_win + 1) * win_ms)
+        # clamp above the watermark: a batch of late-window rows would
+        # otherwise set a timeout in the past, which throws and kills
+        # the query
+        state.setTimeoutTimestamp(
+            max((last_win + 1) * win_ms, state.getCurrentWatermarkMs() + 1))
         if len(out):
             yield out
 
