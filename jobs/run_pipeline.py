@@ -44,7 +44,11 @@ def main() -> None:
     from vector_spark.functions.parse import parse_all
     from vector_spark.operators.enrich import enrich_equals, enrich_range
     from vector_spark.operators.route import flagship_conditions, route_exploded
-    from vector_spark.plans.checkpoint import manifest_totals, run_checkpointed
+    from vector_spark.plans.checkpoint import (
+        content_fingerprint,
+        manifest_totals,
+        run_checkpointed,
+    )
     from vector_spark.sources.enrichment import ensure_role_meta, ensure_tool_meta
     from vector_spark.sources.transcripts import ensure_transcripts
 
@@ -83,8 +87,10 @@ def main() -> None:
                           on="tool", case_sensitive=True),
             spark.read.parquet(ensure_role_meta()), on="role", ts_col="ts"),
         flagship_conditions())
+    # content fingerprint (sizes+mtimes), not the path string: an
+    # in-place input rewrite must restart, not resume over stale buckets
     manifest = run_checkpointed(routed, args.out, n_buckets=args.buckets,
-                                input_fingerprint=src)
+                                input_fingerprint=content_fingerprint(src))
     print(json.dumps({"mode": "batch", "sink_counts": manifest_totals(manifest),
                       "buckets": len(manifest["buckets"])}))
 

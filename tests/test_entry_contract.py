@@ -28,6 +28,9 @@ APPROX = {
     "dedup_ngram_jaccard": ["jaccard"],
     "dedup_minhash_lsh": ["jaccard"],
     "dedup_embedding_cosine": ["cosine"],
+    "dedup_embedding_ivf": ["cosine"],
+    "log_to_metric_gauge": ["gauge_min", "gauge_max"],
+    "log_to_metric_all": ["value"],
     "ann_brute_topk": ["cosine"],
     "ann_ivf_topk": ["cosine"],
 }

@@ -113,3 +113,25 @@ def test_streaming_feedback_loop(spark, tmp_path):
     assert snap["bash"]["seen_count"] == 3
     assert snap["bash"]["first_seen_ts"] == t0
     assert snap["web"]["seen_count"] == 1
+
+
+def test_merge_replayed_epoch_is_noop(spark, tmp_path):
+    """Crash-replay safety: merging the same epoch twice must not
+    double-fold accumulating fields (seen_count)."""
+    import datetime
+
+    from vector_spark.operators.memory_table import MemoryTable
+
+    t = MemoryTable(spark, str(tmp_path / "mt"), key="k")
+    t0 = datetime.datetime(2024, 1, 1)
+    upd = spark.createDataFrame([("a", t0, 2)], "k string, updated_at timestamp, seen_count long")
+    v1 = t.merge(upd, epoch=0)
+    v2 = t.merge(upd, epoch=0)  # replay: skipped
+    assert v1 == v2
+    assert t.snapshot().first()["seen_count"] == 2
+    # a NEW epoch does merge (latest-per-key wins)
+    t1 = datetime.datetime(2024, 1, 2)
+    upd2 = spark.createDataFrame([("a", t1, 5)], "k string, updated_at timestamp, seen_count long")
+    v3 = t.merge(upd2, epoch=1)
+    assert v3 == v1 + 1
+    assert t.snapshot().first()["seen_count"] == 5

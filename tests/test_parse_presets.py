@@ -1,0 +1,81 @@
+"""Grok-preset parse family tests: nginx (combined + error), klog/glog,
+CEF (reference parse_nginx_log.cue / parse_klog.cue / parse_glog.cue /
+parse_cef.cue semantics — typed fields, NULL on non-match, CEF pipe
+unescaping)."""
+
+from pyspark.sql import functions as F
+
+from vector_spark.functions.parse_presets import (
+    parse_cef,
+    parse_glog,
+    parse_klog,
+    parse_nginx_log,
+)
+
+NGINX_LINE = ('172.17.0.1 - alice [01/Apr/2024:12:02:31 +0000] '
+              '"POST /not-found HTTP/1.1" 404 153 '
+              '"http://localhost/somewhere" "Mozilla/5.0 (X11)"')
+NGINX_ERR_LINE = ("2024/04/15 12:03:30 [error] 1234#56: *789 "
+                  'open() "/var/www/x" failed (2: No such file)')
+KLOG_LINE = "I0813 16:33:35.233394   42302 klog.go:70] hello world"
+CEF_LINE = (r"CEF:0|Security|threat\|manager|1.0|100|worm stopped|10|"
+            "src=10.0.0.1 act=blocked dst=1.1.1.1")
+
+
+def test_nginx_combined_fields(spark):
+    df = spark.createDataFrame([(NGINX_LINE,), ("garbage",)], ["text"])
+    got = {r["text"]: r for r in parse_nginx_log(df, "combined").collect()}
+    r = got[NGINX_LINE]
+    assert r["client"] == "172.17.0.1" and r["user"] == "alice"
+    assert r["method"] == "POST" and r["path"] == "/not-found"
+    assert r["protocol"] == "1.1"
+    assert r["status"] == 404 and r["size"] == 153
+    assert r["referer"] == "http://localhost/somewhere"
+    assert r["agent"] == "Mozilla/5.0 (X11)"
+    g = got["garbage"]
+    assert g["client"] is None and g["status"] is None
+
+
+def test_nginx_error_fields(spark):
+    df = spark.createDataFrame([(NGINX_ERR_LINE,)], ["text"])
+    r = parse_nginx_log(df, "error").first()
+    assert r["timestamp"] == "2024/04/15 12:03:30"
+    assert r["severity"] == "error"
+    assert (r["pid"], r["tid"], r["cid"]) == (1234, 56, 789)
+    assert r["message"].startswith('open() "/var/www/x"')
+
+
+def test_klog_and_glog_fields(spark):
+    df = spark.createDataFrame([(KLOG_LINE,), ("not klog",)], ["text"])
+    for fn in (parse_klog, parse_glog):
+        got = {r["text"]: r for r in fn(df).collect()}
+        r = got[KLOG_LINE]
+        assert r["level"] == "info"
+        assert r["mmdd"] == "0813" and r["time"] == "16:33:35.233394"
+        assert r["id"] == 42302
+        assert (r["file"], r["line"]) == ("klog.go", 70)
+        assert r["message"] == "hello world"
+        assert got["not klog"]["level"] is None
+
+
+def test_klog_level_mapping(spark):
+    lines = [(lvl + KLOG_LINE[1:],) for lvl in "IWEF"]
+    df = spark.createDataFrame(lines, ["text"])
+    got = sorted(r["level"] for r in parse_klog(df).collect())
+    assert got == ["error", "fatal", "info", "warning"]
+
+
+def test_cef_header_unescape_and_extension(spark):
+    df = spark.createDataFrame([(CEF_LINE,), ("nope",)], ["text"])
+    out = parse_cef(df, extension_keys=["src", "act"])
+    got = {r["text"]: r for r in out.collect()}
+    r = got[CEF_LINE]
+    assert r["cef_version"] == 0
+    assert r["device_vendor"] == "Security"
+    # the escaped \| in the product field must be unescaped
+    assert r["device_product"] == "threat|manager"
+    assert r["event_class_id"] == "100" and r["name"] == "worm stopped"
+    assert r["severity"] == "10"
+    assert r["ext_src"] == "10.0.0.1" and r["ext_act"] == "blocked"
+    assert r["cef_ext"]["dst"] == "1.1.1.1"
+    assert got["nope"]["device_vendor"] is None and got["nope"]["cef_ext"] is None

@@ -1,0 +1,38 @@
+"""Sample `exclude` semantics across all three modes (reference
+src/transforms/sample/transform.rs:21-92: excluded events bypass
+sampling entirely — kept, untagged, and in counter mode they do NOT
+consume the 1-in-rate budget)."""
+
+from pyspark.sql import functions as F
+
+from vector_spark.operators.sample import sample_by_count, sample_by_key
+
+
+def test_key_mode_exclude_bypasses(spark):
+    df = spark.createDataFrame(
+        [(i, "sys" if i % 4 == 0 else "user") for i in range(20)],
+        "k long, role string")
+    out = sample_by_key(df, "k", rate=5, hash_expr=F.col("k"),
+                        exclude=F.col("role") == "sys")
+    rows = {r["k"]: r for r in out.collect()}
+    # kept: k % 5 == 0 (sampled) plus every sys row (k % 4 == 0)
+    assert set(rows) == {k for k in range(20) if k % 5 == 0 or k % 4 == 0}
+    assert rows[4]["sample_rate"] is None      # excluded, untagged
+    assert rows[5]["sample_rate"] == 5         # sampled, tagged
+    assert rows[0]["sample_rate"] is None      # excluded wins over sampled
+
+
+def test_counter_mode_exclude_does_not_consume_budget(spark):
+    # order 0..9; rows 0,1 excluded -> non-excluded sequence starts at row
+    # 2, so kept-by-counter are rows 2, 5, 8 (every 3rd NON-excluded row)
+    df = spark.createDataFrame(
+        [("g", i, i < 2) for i in range(10)], "g string, seq long, exc boolean")
+    out = sample_by_count(df, ["g"], ["seq"], rate=3, exclude=F.col("exc"))
+    got = sorted((r["seq"], r["sample_rate"]) for r in out.collect())
+    assert got == [(0, None), (1, None), (2, 3), (5, 3), (8, 3)]
+
+
+def test_counter_mode_without_exclude_unchanged(spark):
+    df = spark.createDataFrame([("g", i) for i in range(9)], "g string, seq long")
+    out = sample_by_count(df, ["g"], ["seq"], rate=3)
+    assert sorted(r["seq"] for r in out.collect()) == [0, 3, 6]

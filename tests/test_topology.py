@@ -247,3 +247,41 @@ def test_line_agg_transform_in_spec(spark):
     msgs = [r["message"] for r in
             spark.sql("select * from out order by msg_id").collect()]
     assert msgs == ["Traceback:\n  at foo\n  at bar", "next msg"]
+
+
+def test_telemetry_table_and_tap(spark, tmp_path):
+    """Per-component counters persist as a real metrics table
+    (internal_metrics analogue) and a `tap` sink writes a deterministic
+    consistent-hash sample of its input edge."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(f"c{i}", i % 3, f"text {i}") for i in range(300)],
+        ["conv_id", "turn_idx", "text"])
+    out = str(tmp_path / "topo")
+    tel = str(tmp_path / "telemetry")
+    spec = {
+        "sources": {"in": {"type": "dataframe", "df": df}},
+        "transforms": {},
+        "sinks": {
+            "all": {"type": "noop", "inputs": ["in"]},
+            "tapped": {"type": "tap", "inputs": ["in"], "fraction": 0.2,
+                       "key_cols": ["conv_id"]},
+        },
+    }
+    counts = build_topology(spark, spec).run(out_dir=out, telemetry_dir=tel)
+    assert counts["all"] == 300
+    # tap: deterministic subset, roughly fraction-sized, and re-running
+    # yields the IDENTICAL sample (consistent hash, no RNG)
+    assert 20 <= counts["tapped"] <= 120
+    sample1 = {r["conv_id"] for r in spark.read.parquet(str(tmp_path / "topo/tapped")).collect()}
+    counts2 = build_topology(spark, spec).run(out_dir=out, telemetry_dir=tel)
+    sample2 = {r["conv_id"] for r in spark.read.parquet(str(tmp_path / "topo/tapped")).collect()}
+    assert sample1 == sample2
+    # telemetry: two runs appended; counters match the returned counts
+    t = spark.read.parquet(tel)
+    assert t.where(F.col("metric") == "component_sent_events_total").count() == 4
+    per_run = (t.groupBy("run_id").count().collect())
+    assert sorted(r["count"] for r in per_run) == [2, 2]
+    got = {(r["component_id"], r["value"]) for r in t.collect()}
+    assert ("all", 300) in got and ("tapped", counts["tapped"]) in got

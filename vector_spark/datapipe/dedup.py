@@ -227,13 +227,24 @@ def cosine_expr(a: str, b: str) -> str:
 
 def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding", bucket_col: str = "label",
-                            min_cosine: float = 0.9) -> DataFrame:
+                            min_cosine: float = 0.9,
+                            centroids: list[list[float]] | None = None) -> DataFrame:
     """Embedding near-dup pairs within coarse buckets (IVF-style).
 
-    The bucket column stands in for a coarse quantizer cell: pairwise
-    cosine only *within* a bucket, so cost is sum of bucket^2, not n^2,
-    and the join is a bucket-key equi-join that AQE can split on skew.
+    With ``centroids`` the bucket is the computed nearest k-means cell
+    (datapipe/similarity.py — the real IVF quantizer); without, an
+    existing column stands in. Pairwise cosine only *within* a bucket,
+    so cost is sum of bucket^2, not n^2, and the join is a bucket-key
+    equi-join that AQE can split on skew. Near-dup pairs straddling a
+    cell boundary are missed — the standard IVF recall trade, measured
+    by the recall test in tests/test_datapipe.py.
     """
+    if centroids is not None:
+        from vector_spark.datapipe.similarity import assign_cells
+
+        df = assign_cells(df.select(F.col(id_col), F.col(vec_col)),
+                          centroids, vec_col=vec_col, out_col="cell")
+        bucket_col = "cell"
     e = df.select(F.col(id_col), F.col(vec_col), F.col(bucket_col))
     a = e.select(F.col(bucket_col), F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
     b = e.select(F.col(bucket_col), F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))

@@ -166,8 +166,16 @@ def simhash_sql(max_hamming: int = 3) -> str:
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
 
 
-def embedding_neardup_sql(min_cosine: float = 0.35) -> str:
+def embedding_neardup_sql(min_cosine: float = 0.35,
+                          centroids: list[list[float]] | None = None) -> str:
     cos = _cos("a.embedding", "b.embedding")
+    if centroids is not None:
+        return f"""WITH c AS (SELECT vec_id, embedding,
+                   {cell_sql('embedding', centroids)} AS cell FROM embeddings)
+    SELECT a.cell, a.vec_id AS id1, b.vec_id AS id2,
+           round({cos}, 6) AS cosine
+    FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {cos} >= {min_cosine}"""
     return f"""SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
            round({cos}, 6) AS cosine
     FROM embeddings a JOIN embeddings b
@@ -175,8 +183,56 @@ def embedding_neardup_sql(min_cosine: float = 0.35) -> str:
     WHERE {cos} >= {min_cosine}"""
 
 
-def ann_topk_sql(k: int = 5, query_mod: int = 25, bucketed: bool = False) -> str:
+def _centroid_list(centroid: list[float]) -> str:
+    # DuckDB infers bare float literals in a list as DECIMAL — cast the
+    # whole list so the arithmetic stays IEEE double like Spark's
+    return "CAST([" + ", ".join(repr(v) for v in centroid) + "] AS DOUBLE[])"
+
+
+def _l2_sql(vec: str, centroid: list[float]) -> str:
+    """Sequential-fold squared-L2 to a literal centroid — bit-identical
+    to the Spark twin (datapipe/similarity.py::_l2_expr)."""
+    arr = _centroid_list(centroid)
+    term = (f"(CAST({vec}[j] AS DOUBLE) - ({arr})[j]) * "
+            f"(CAST({vec}[j] AS DOUBLE) - ({arr})[j])")
+    return (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(range(1, len({vec}) + 1), j -> {term})), "
+            f"(p, q) -> p + q)")
+
+
+def cell_sql(vec: str, centroids: list[list[float]]) -> str:
+    """Nearest-cell id, first-min tie-break — twin of cell_expr."""
+    darr = "[" + ", ".join(_l2_sql(vec, c) for c in centroids) + "]"
+    return f"CAST(list_position({darr}, list_min({darr})) - 1 AS INTEGER)"
+
+
+def probe_cells_sql(vec: str, centroids: list[list[float]], nprobe: int) -> str:
+    """The query's nprobe nearest cell ids — twin of probe_cells_expr."""
+    structs = ", ".join(
+        f"{{'d': {_l2_sql(vec, c)}, 'i': {i}}}"
+        for i, c in enumerate(centroids))
+    return f"list_transform(list_sort([{structs}])[1:{nprobe}], s -> s.i)"
+
+
+def ann_topk_sql(k: int = 5, query_mod: int = 25, bucketed: bool = False,
+                 centroids: list[list[float]] | None = None,
+                 nprobe: int = 1) -> str:
     cos = _cos("q.qvec", "e.embedding")
+    if centroids is not None:
+        return f"""WITH q0 AS (SELECT vec_id AS query_id, embedding AS qvec,
+                       {probe_cells_sql('embedding', centroids, nprobe)} AS cells
+                 FROM embeddings WHERE vec_id % {query_mod} = 0),
+      q AS (SELECT query_id, qvec, unnest(cells) AS cell FROM q0),
+      c AS (SELECT vec_id, embedding, {cell_sql('embedding', centroids)} AS cell
+            FROM embeddings),
+      scored AS (SELECT q.query_id, e.vec_id, {cos} AS cosine
+                 FROM c e JOIN q ON e.cell = q.cell AND e.vec_id <> q.query_id),
+      ranked AS (SELECT query_id, vec_id, cosine,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, vec_id) AS rank
+                 FROM scored)
+    SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+    FROM ranked WHERE rank <= {k}"""
     join = ("JOIN q ON e.label = q.label AND e.vec_id <> q.query_id" if bucketed
             else "JOIN q ON e.vec_id <> q.query_id")
     qcols = "vec_id AS query_id, embedding AS qvec" + (", label" if bucketed else "")

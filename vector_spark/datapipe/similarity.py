@@ -1,19 +1,23 @@
 """Approximate-nearest-neighbor search over an embedding column.
 
-Two strategies over ``embeddings (vec_id, embedding array<float>, label)``:
+Strategies over ``embeddings (vec_id, embedding array<float>, label)``:
 
 - brute_force_topk: exact cosine top-k. Query set is broadcast and the
   corpus is scanned once (one narrow map + per-query top-k via window).
   This is the correctness baseline and is already the right *shape* for
   scale when |queries| is small: broadcast join => no shuffle of the
   corpus, and the window partitions by query_id (|Q| * k rows shuffled).
-- ivf_topk: IVF-style coarse-bucketed search — restrict each query to
-  its own coarse cell (here the label column as the quantizer cell,
-  nprobe=1). Same plan shape with the bucket key added to the join,
-  cutting the scanned corpus per query by the bucket fan-out.
+- ivf_topk: real IVF — coarse k-means centroids fit driver-side on a
+  bounded sample (Lloyd's, deterministic seed), broadcast as literals,
+  corpus assigned to its nearest cell via a JVM-side argmin, queries
+  probing their ``nprobe`` nearest cells. The probe set explodes to an
+  equi-join on the cell id, so the scanned corpus per query is
+  nprobe/n_cells of the whole — no cross join, no corpus shuffle.
+  (Passing ``centroids=None`` falls back to bucketing on an existing
+  column, the round-1 label stand-in.)
 
-Cosine is the bit-exact sequential fold from dedup.cosine_expr so DuckDB
-oracles agree exactly; ties broken by vec_id for determinism.
+Cosine / L2 are bit-exact sequential folds (dedup.cosine_expr style) so
+DuckDB oracles agree exactly; ties broken by vec_id / cell index.
 """
 
 from __future__ import annotations
@@ -22,6 +26,99 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_spark.datapipe.dedup import cosine_expr
+
+DEFAULT_CELLS = 8
+KMEANS_ITERS = 10
+KMEANS_SEED = 42
+
+
+def fit_centroids_numpy(vecs, n_cells: int = DEFAULT_CELLS,
+                        n_iter: int = KMEANS_ITERS,
+                        seed: int = KMEANS_SEED) -> list[list[float]]:
+    """Deterministic Lloyd's k-means in float64. Seeded RandomState init
+    (reproducible cross-platform), fixed iteration count, empty cells
+    re-seeded from the farthest point — every tie broken by first index,
+    so the same input always yields the same centroids."""
+    import numpy as np
+
+    x = np.asarray(vecs, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(x), size=min(n_cells, len(x)), replace=False)
+    cent = x[np.sort(idx)].copy()
+    for _ in range(n_iter):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # first-min tie-break
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+            else:
+                cent[c] = x[d.min(axis=1).argmax()]
+    return [[float(v) for v in row] for row in cent]
+
+
+def fit_centroids_from_parquet(path: str, vec_col: str = "embedding",
+                               n_cells: int = DEFAULT_CELLS,
+                               n_iter: int = KMEANS_ITERS,
+                               seed: int = KMEANS_SEED,
+                               max_sample: int = 20000) -> list[list[float]]:
+    """Oracle-parity fit: read the parquet directly (pyarrow, vec_id
+    order, first ``max_sample`` rows) so the Spark query and the DuckDB
+    oracle builder derive the IDENTICAL centroid literals without
+    needing a SparkSession."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=["vec_id", vec_col])
+    order = tbl.column("vec_id").to_numpy().argsort(kind="stable")[:max_sample]
+    vecs = [tbl.column(vec_col)[int(i)].as_py() for i in order]
+    return fit_centroids_numpy(vecs, n_cells, n_iter, seed)
+
+
+def fit_centroids(corpus: DataFrame, vec_col: str = "embedding",
+                  n_cells: int = DEFAULT_CELLS, n_iter: int = KMEANS_ITERS,
+                  seed: int = KMEANS_SEED,
+                  max_sample: int = 20000) -> list[list[float]]:
+    """Production fit path: bounded deterministic sample via Spark (sorted
+    limit — one narrow scan), then the same driver-side Lloyd's. The
+    sample is tiny relative to a 100-TB corpus; the expensive part
+    (assignment) stays distributed and JVM-side."""
+    rows = (corpus.select(F.col(vec_col).alias("v"), F.col("vec_id"))
+            .sort("vec_id").limit(max_sample).collect())
+    return fit_centroids_numpy([r["v"] for r in rows], n_cells, n_iter, seed)
+
+
+def _l2_expr(vec: str, centroid: list[float]) -> str:
+    """Sequential-fold squared-L2 to a literal centroid — bit-identical
+    to the DuckDB twin (datapipe/oracle.py::_l2_sql)."""
+    arr = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in centroid) + ")"
+    return (f"aggregate(zip_with({vec}, {arr}, "
+            f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def cell_expr(vec: str, centroids: list[list[float]]) -> str:
+    """Nearest-cell id (0-based, first-min tie-break): index of the min
+    element of the per-centroid distance array."""
+    darr = "array(" + ", ".join(_l2_expr(vec, c) for c in centroids) + ")"
+    return f"CAST(array_position({darr}, array_min({darr})) - 1 AS INT)"
+
+
+def probe_cells_expr(vec: str, centroids: list[list[float]], nprobe: int) -> str:
+    """The query's ``nprobe`` nearest cell ids, ordered by (distance,
+    cell): sort (d, i) structs, slice, project i."""
+    structs = ", ".join(
+        f"named_struct('d', {_l2_expr(vec, c)}, 'i', {i})"
+        for i, c in enumerate(centroids))
+    return (f"transform(slice(array_sort(array({structs})), 1, {nprobe}), "
+            f"s -> s.i)")
+
+
+def assign_cells(df: DataFrame, centroids: list[list[float]],
+                 vec_col: str = "embedding", out_col: str = "cell") -> DataFrame:
+    """IVF assignment: one narrow JVM-side projection per row (the
+    centroid literals ride inside the codegen'd expression — nothing to
+    broadcast or join)."""
+    return df.withColumn(out_col, F.expr(cell_expr(vec_col, centroids)))
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
@@ -47,13 +144,36 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             bucket_col: str = "label") -> DataFrame:
-    """IVF-bucketed ANN: search only the query's coarse cell (nprobe=1)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-                       F.col(bucket_col))
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec"), F.col(bucket_col))
+             bucket_col: str = "label",
+             centroids: list[list[float]] | None = None,
+             nprobe: int = 1) -> DataFrame:
+    """IVF ANN: search only the query's ``nprobe`` nearest coarse cells.
+
+    With ``centroids`` (the real path): corpus rows are assigned their
+    nearest cell JVM-side; each query's probe list explodes to
+    (query, cell) rows, and the candidate set is the cell equi-join —
+    a corpus vector lives in exactly one cell, so no pair dedup needed.
+    Without centroids: legacy bucketing on ``bucket_col`` (nprobe=1)."""
+    if centroids is None:
+        q = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("qvec"), F.col(bucket_col))
+        c = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec"),
+                          F.col(bucket_col))
+        scored = (
+            c.join(F.broadcast(q), on=bucket_col)
+            .where(F.col(id_col) != F.col("query_id"))
+            .withColumn("cosine", F.expr(cosine_expr("qvec", "cvec")))
+        )
+        return _topk(scored, k)
+    q = (queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+            F.expr(probe_cells_expr(vec_col, centroids, nprobe)).alias("__cells"))
+         .withColumn("cell", F.explode("__cells")).drop("__cells"))
+    c = assign_cells(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("cvec")),
+        centroids, vec_col="cvec")
     scored = (
-        c.join(F.broadcast(q), on=bucket_col)
+        c.join(F.broadcast(q), on="cell")
         .where(F.col(id_col) != F.col("query_id"))
         .withColumn("cosine", F.expr(cosine_expr("qvec", "cvec")))
     )

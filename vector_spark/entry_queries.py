@@ -411,13 +411,208 @@ def q_agg_summary(spark, sf_dir):
     per event_type (operators/metrics.py::aggregate_summary)."""
     from vector_spark.operators.metrics import aggregate_summary
 
+    # exact=True: the oracle compares against DuckDB's exact
+    # quantile_cont; production default is the approx sketch
     s = aggregate_summary(_events(spark, sf_dir), ["event_type"], "value",
-                          "ts", 3600, quantiles=(0.5, 0.9, 0.99))
+                          "ts", 3600, quantiles=(0.5, 0.9, 0.99), exact=True)
     return s.select("window_start", "event_type",
                     F.round("q5", 6).alias("q5"),
                     F.round("q9", 6).alias("q9"),
                     F.round("q99", 6).alias("q99"),
                     "count", F.round("sum", 6).alias("sum"))
+
+
+# --- grok-preset parse family (nginx/klog/cef) --------------------------
+# Input lines are synthesized deterministically from transcripts columns
+# with the SAME string construction on both engines, then parsed with the
+# compiled grok regex (Spark) / the identical regex via regexp_extract
+# (DuckDB oracle) — so the check covers the preset's actual extraction.
+
+_NGINX_SEV = [("user", "info"), ("assistant", "warn"), ("system", "error")]
+_KLOG_LVL = [("user", "I"), ("assistant", "W"), ("system", "E")]
+
+
+def _nginx_combined_lines(spark, sf_dir):
+    from vector_spark.functions.parse import APACHE_RE
+
+    t = _transcripts(spark, sf_dir)
+    return (t.where(F.col("text").rlike(APACHE_RE))
+            .select("conv_id", "turn_idx",
+                    F.concat(F.col("text"), F.lit(' "https://ref.example/'),
+                             F.col("role"), F.lit('" "curl/8.'),
+                             (F.col("turn_idx") % 10).cast("string"),
+                             F.lit('"')).alias("raw")))
+
+
+def q_parse_nginx_combined(spark, sf_dir):
+    from vector_spark.functions.parse_presets import parse_nginx_log
+
+    out = parse_nginx_log(_nginx_combined_lines(spark, sf_dir),
+                          "combined", text_col="raw")
+    return out.select("conv_id", "turn_idx", "client", "ident", "user",
+                      "timestamp", "method", "path", "protocol", "status",
+                      "size", "referer", "agent")
+
+
+def q_parse_nginx_error(spark, sf_dir):
+    from vector_spark.functions.parse_presets import parse_nginx_log
+
+    t = _transcripts(spark, sf_dir).where(F.col("turn_idx") % 7 == 3)
+    sev = F.lit("crit")
+    for role, s in reversed(_NGINX_SEV):
+        sev = F.when(F.col("role") == role, s).otherwise(sev)
+    line = F.concat(
+        F.date_format("ts", "yyyy/MM/dd HH:mm:ss"), F.lit(" ["), sev,
+        F.lit("] "), (F.lit(100) + F.col("turn_idx") % 900).cast("string"),
+        F.lit("#"), (F.col("turn_idx") % 16).cast("string"), F.lit(": *"),
+        F.col("turn_idx").cast("string"),
+        F.lit(" upstream timed out for "), F.col("conv_id"))
+    out = parse_nginx_log(t.select("conv_id", "turn_idx", line.alias("raw")),
+                          "error", text_col="raw")
+    return out.select("conv_id", "turn_idx", "timestamp", "severity",
+                      "pid", "tid", "cid", "message")
+
+
+def q_parse_klog(spark, sf_dir):
+    from vector_spark.functions.parse_presets import parse_klog
+
+    t = _transcripts(spark, sf_dir).where(F.col("turn_idx") % 5 == 1)
+    lvl = F.lit("F")
+    for role, ch in reversed(_KLOG_LVL):
+        lvl = F.when(F.col("role") == role, ch).otherwise(lvl)
+    line = F.concat(
+        lvl, F.date_format("ts", "MMdd"), F.lit(" "),
+        F.date_format("ts", "HH:mm:ss.SSSSSS"), F.lit("  "),
+        (F.lit(1000) + F.col("turn_idx")).cast("string"),
+        F.lit(" server.go:"), (F.lit(1) + F.col("turn_idx") % 500).cast("string"),
+        F.lit("] request handled for "), F.col("conv_id"))
+    out = parse_klog(t.select("conv_id", "turn_idx", line.alias("raw")),
+                     text_col="raw")
+    return out.select("conv_id", "turn_idx", "level", "mmdd", "time",
+                      "id", "file", "line", "message")
+
+
+def q_parse_cef(spark, sf_dir):
+    from vector_spark.functions.parse_presets import parse_cef
+
+    t = _transcripts(spark, sf_dir).where(F.col("turn_idx") % 4 == 2)
+    # device_product carries an ESCAPED pipe so the query exercises the
+    # CEF \| unescape, not just the happy path
+    line = F.concat(
+        F.lit(r"CEF:0|VectorCorp|vector\|spark|1."),
+        (F.col("turn_idx") % 3).cast("string"), F.lit("|"),
+        F.upper("role"), F.lit("_EVT|Suspicious "),
+        F.coalesce(F.col("tool"), F.lit("none")), F.lit("|"),
+        (F.col("turn_idx") % 10).cast("string"),
+        F.lit("|src=10.0.0."), (F.col("turn_idx") % 255).cast("string"),
+        F.lit(" act="), F.col("role"),
+        F.lit(" cnt="), F.col("turn_idx").cast("string"))
+    out = parse_cef(t.select("conv_id", "turn_idx", line.alias("raw")),
+                    text_col="raw", extension_keys=["src", "act", "cnt"])
+    return out.select("conv_id", "turn_idx", "cef_version", "device_vendor",
+                      "device_product", "device_version", "event_class_id",
+                      "name", "severity", "ext_src", "ext_act", "ext_cnt")
+
+
+def q_reduce_merge_strategies(spark, sf_dir):
+    """concat_raw / shortest_array / longest_array merge strategies
+    (reference merge_strategy.rs:17-55) over per-conversation token
+    arrays. Arrays are joined back to strings for the cross-engine hash;
+    ties break on event order via a composite (size, order) key."""
+    t = _transcripts(spark, sf_dir).where(F.col("turn_idx") < 6)
+    df = t.select("conv_id", "turn_idx", "ts", "text",
+                  F.split("text", " ").alias("toks_s"),
+                  F.split("text", " ").alias("toks_l"))
+    out = reduce_events(df, ["conv_id"],
+                        {"text": "concat_raw", "toks_s": "shortest_array",
+                         "toks_l": "longest_array"})
+    return out.select(
+        "conv_id",
+        F.col("text_concat").alias("raw_concat"),
+        F.array_join("toks_s_shortest", " ").alias("shortest_toks"),
+        F.array_join("toks_l_longest", " ").alias("longest_toks"),
+        "ts", "ts_end", "n_merged")
+
+
+def q_log_to_metric_gauge(spark, sf_dir):
+    """log_to_metric gauge rule (log_to_metric.rs:142): absolute metric
+    per log, summarized hourly per series."""
+    from vector_spark.operators.metrics import log_to_metric_gauge
+
+    g = log_to_metric_gauge(
+        _events(spark, sf_dir),
+        name=F.concat(F.lit("gauge_"), F.col("event_type")),
+        value=F.col("value"), tags={})
+    win = (F.floor(F.unix_timestamp(F.col("ts")) / 3600) * 3600
+           ).cast("long").alias("window_start")
+    return (g.groupBy(win, "name", "kind")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("value"), 6).alias("gauge_min"),
+                 F.round(F.max("value"), 6).alias("gauge_max")))
+
+
+def q_log_to_metric_set(spark, sf_dir):
+    """log_to_metric set rule + MetricValue::Set aggregation
+    (log_to_metric.rs SetConfig, value.rs:20-83): hourly distinct-member
+    count per series."""
+    from vector_spark.operators.metrics import aggregate_set, log_to_metric_set
+
+    s = log_to_metric_set(
+        _events(spark, sf_dir),
+        name=F.concat(F.lit("users_"), F.col("event_type")),
+        member=F.col("user_id"), tags={})
+    return aggregate_set(s, ["name"], "member", "ts", 3600)
+
+
+def q_log_to_metric_all(spark, sf_dir):
+    """all_metrics mode (log_to_metric.rs:519-768): metric-shaped logs
+    projected straight to metrics; an invalid kind poisons to NULL."""
+    from vector_spark.operators.metrics import log_to_metric_all
+
+    ev = _events(spark, sf_dir)
+    kind = (F.when(F.col("event_id") % 97 == 0, "bogus")
+            .when(F.col("value") < 50, "incremental").otherwise("absolute"))
+    out = log_to_metric_all(ev, "event_type", "value", kind, tag_cols={"user": "user_id"})
+    return out.select("name", "namespace", "kind",
+                      F.round("value", 6).alias("value"), "ts",
+                      F.col("tag_user").cast("long").alias("tag_user"))
+
+
+def q_trace_to_log(spark, sf_dir):
+    """trace_to_log (trace_to_log.rs:17): tool turns as spans -> logs."""
+    from vector_spark.operators.metrics import trace_to_log
+
+    t = _transcripts(spark, sf_dir).where(F.col("tool").isNotNull())
+    spans = t.select("conv_id", F.col("turn_idx").alias("span_id"),
+                     F.col("tool").alias("service"), "ts")
+    return trace_to_log(spans, ["conv_id", "span_id", "service", "ts"])
+
+
+def q_sample_key_exclude(spark, sf_dir):
+    """sample key mode WITH exclude (transform.rs:21-92): excluded events
+    bypass sampling and carry no sample_rate."""
+    h = F.expr(_SAMPLE_HASH_SQL)
+    out = sample_by_key(_transcripts(spark, sf_dir), "conv_id", rate=5,
+                        hash_expr=h, exclude=F.col("role") == "system")
+    return out.select("conv_id", "turn_idx", "role", "sample_rate")
+
+
+def q_cardinality_bloom(spark, sf_dir):
+    """tag_cardinality_limit probabilistic mode (config.rs:15): HLL guard
+    per scope. click/view scopes carry 10 distinct tags (under the limit,
+    untouched); the rest carry 60 (over -> tag dropped)."""
+    from vector_spark.operators.cardinality import tag_cardinality_limit_probabilistic
+
+    ev = _events(spark, sf_dir).withColumn(
+        "tag",
+        (F.col("user_id") % F.when(F.col("event_type").isin("click", "view"),
+                                   10).otherwise(60)).cast("long"))
+    out = tag_cardinality_limit_probabilistic(
+        ev, ["event_type"], "tag", value_limit=30, action="drop_tag")
+    return (out.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.count("tag").alias("n_tagged"),
+                 F.countDistinct("tag").alias("n_distinct_tags")))
 
 
 def q_remap_dropped(spark, sf_dir):
@@ -517,8 +712,25 @@ def q_dedup_simhash(spark, sf_dir):
             .select("id1", "id2", "h1", "h2", F.col("hamming").cast("long").alias("hamming")))
 
 
+def _ivf_centroids(sf_dir: str):
+    """Deterministic k-means centroids for the fixture — the ORACLE
+    builder derives the identical literals from the same parquet
+    (datapipe/similarity.py::fit_centroids_from_parquet)."""
+    from vector_spark.datapipe.similarity import fit_centroids_from_parquet
+
+    return fit_centroids_from_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
 def q_dedup_embedding(spark, sf_dir):
     return embedding_neardup_pairs(_embeddings(spark, sf_dir), min_cosine=0.35)
+
+
+def q_dedup_embedding_ivf(spark, sf_dir):
+    """Embedding near-dup with the COMPUTED k-means quantizer cell as the
+    bucket (vs the label stand-in in dedup_embedding_cosine)."""
+    return embedding_neardup_pairs(
+        _embeddings(spark, sf_dir), min_cosine=0.35,
+        centroids=_ivf_centroids(sf_dir))
 
 
 def q_ann_brute(spark, sf_dir):
@@ -529,9 +741,11 @@ def q_ann_brute(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
+    """Real IVF: driver-fit k-means centroids, JVM-side cell assignment,
+    nprobe=2 probe join (datapipe/similarity.py::ivf_topk)."""
     e = _embeddings(spark, sf_dir)
     q = e.where(F.col("vec_id") % 25 == 0)
-    df = ivf_topk(e, q, k=5)
+    df = ivf_topk(e, q, k=5, centroids=_ivf_centroids(sf_dir), nprobe=2)
     return df.select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
 
 
@@ -584,6 +798,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_summary": q_agg_summary,
     "vrl_string_funcs": q_vrl_funcs,
     "parse_grok_apache": q_parse_grok,
+    "parse_nginx_combined": q_parse_nginx_combined,
+    "parse_nginx_error": q_parse_nginx_error,
+    "parse_klog": q_parse_klog,
+    "parse_cef": q_parse_cef,
+    "reduce_merge_strategies": q_reduce_merge_strategies,
+    "log_to_metric_gauge": q_log_to_metric_gauge,
+    "log_to_metric_set": q_log_to_metric_set,
+    "log_to_metric_all": q_log_to_metric_all,
+    "trace_to_log": q_trace_to_log,
+    "sample_key_exclude": q_sample_key_exclude,
+    "tag_cardinality_bloom": q_cardinality_bloom,
     "parse_csv_roundtrip": q_parse_csv_roundtrip,
     "ddsearch_filter": q_ddsearch_filter,
     "parse_key_value_roundtrip": q_parse_key_value,
@@ -599,6 +824,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding,
+    "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "ann_brute_topk": q_ann_brute,
     "ann_ivf_topk": q_ann_ivf,
     "media_byte_features": q_media_features,
@@ -905,6 +1131,172 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
              try_cast(regexp_extract(text, '{_gk}', 9) AS BIGINT) AS resp_bytes
       FROM read_parquet('{tp}') WHERE regexp_matches(text, '{_gk}')"""
 
+    # grok-preset family: identical line construction + the compiled
+    # preset regex (imported, not duplicated) via regexp_extract
+    from vector_spark.functions.parse import APACHE_RE
+    from vector_spark.functions.parse_presets import (
+        compiled_cef,
+        compiled_klog,
+        compiled_nginx_combined,
+        compiled_nginx_error,
+    )
+
+    def _rx(compiled):
+        return compiled.regex.replace("'", "''")
+
+    def _grok_struct(compiled, line_expr):
+        """One regexp_extract into a named struct (DuckDB's indexed form
+        caps at group 9; the name-list form has no such limit and is a
+        single extraction per row, matching the Spark side's one pass)."""
+        names = ", ".join(f"'{f_}'" for f_ in compiled.fields)
+        return f"regexp_extract({line_expr}, '{_rx(compiled)}', [{names}])"
+
+    def _fields_sql(compiled, struct_col="g", skip=()):
+        cols = []
+        for fld, cast in zip(compiled.fields, compiled.casts):
+            if fld in skip:
+                continue
+            g = f"nullif({struct_col}.\"{fld}\", '')"
+            if cast == "long":
+                g = f"try_cast({g} AS BIGINT)"
+            elif cast == "double":
+                g = f"try_cast({g} AS DOUBLE)"
+            cols.append(f'{g} AS "{fld}"')
+        return ",\n             ".join(cols)
+
+    _ngx = compiled_nginx_combined()
+    o["parse_nginx_combined"] = f"""WITH lines AS (
+        SELECT conv_id, turn_idx,
+               text || ' "https://ref.example/' || role || '" "curl/8.'
+                    || CAST(turn_idx % 10 AS VARCHAR) || '"' AS raw
+        FROM read_parquet('{tp}')
+        WHERE regexp_matches(text, '{APACHE_RE}')),
+      ext AS (SELECT conv_id, turn_idx, {_grok_struct(_ngx, 'raw')} AS g FROM lines)
+      SELECT conv_id, turn_idx,
+             {_fields_sql(_ngx)}
+      FROM ext"""
+
+    _nge = compiled_nginx_error()
+    _sev_case = ("CASE role WHEN 'user' THEN 'info' WHEN 'assistant' THEN 'warn' "
+                 "WHEN 'system' THEN 'error' ELSE 'crit' END")
+    o["parse_nginx_error"] = f"""WITH lines AS (
+        SELECT conv_id, turn_idx,
+               strftime(ts, '%Y/%m/%d %H:%M:%S') || ' [' || {_sev_case} || '] '
+               || CAST(100 + turn_idx % 900 AS VARCHAR) || '#'
+               || CAST(turn_idx % 16 AS VARCHAR) || ': *'
+               || CAST(turn_idx AS VARCHAR)
+               || ' upstream timed out for ' || conv_id AS raw
+        FROM read_parquet('{tp}') WHERE turn_idx % 7 = 3),
+      ext AS (SELECT conv_id, turn_idx, {_grok_struct(_nge, 'raw')} AS g FROM lines)
+      SELECT conv_id, turn_idx,
+             {_fields_sql(_nge)}
+      FROM ext"""
+
+    _klg = compiled_klog()
+    _lvl_case = ("CASE role WHEN 'user' THEN 'I' WHEN 'assistant' THEN 'W' "
+                 "WHEN 'system' THEN 'E' ELSE 'F' END")
+    _lvl_map = ("CASE WHEN level = 'I' THEN 'info' WHEN level = 'W' THEN 'warning' "
+                "WHEN level = 'E' THEN 'error' WHEN level = 'F' THEN 'fatal' END")
+    o["parse_klog"] = f"""WITH lines AS (
+        SELECT conv_id, turn_idx,
+               {_lvl_case} || strftime(ts, '%m%d') || ' '
+               || strftime(ts, '%H:%M:%S.%f') || '  '
+               || CAST(1000 + turn_idx AS VARCHAR) || ' server.go:'
+               || CAST(1 + turn_idx % 500 AS VARCHAR)
+               || '] request handled for ' || conv_id AS raw
+        FROM read_parquet('{tp}') WHERE turn_idx % 5 = 1),
+      ext AS (SELECT conv_id, turn_idx, {_grok_struct(_klg, 'raw')} AS g FROM lines),
+      flds AS (SELECT conv_id, turn_idx,
+             {_fields_sql(_klg)}
+      FROM ext)
+      SELECT conv_id, turn_idx,
+             {_lvl_map} AS level,
+             mmdd, time, id, file, line, message
+      FROM flds"""
+
+    _cef = compiled_cef()
+    _cef_unesc = lambda c: f"regexp_replace({c}, '\\\\([|\\\\])', '\\1', 'g')"  # noqa: E731
+    _cef_hdr = []
+    for i, fld in enumerate(_cef.fields, 1):
+        g = f"nullif(regexp_extract(raw, '{_rx(_cef)}', {i}), '')"
+        if _cef.casts[i - 1] == "long":
+            _cef_hdr.append(f"try_cast({g} AS BIGINT) AS {fld}")
+        elif fld == "extension":
+            continue
+        else:
+            _cef_hdr.append(f"{_cef_unesc(g)} AS {fld}")
+    o["parse_cef"] = f"""WITH lines AS (
+        SELECT conv_id, turn_idx, role, tool,
+               'CEF:0|VectorCorp|vector\\|spark|1.' || CAST(turn_idx % 3 AS VARCHAR)
+               || '|' || upper(role) || '_EVT|Suspicious ' || coalesce(tool, 'none')
+               || '|' || CAST(turn_idx % 10 AS VARCHAR)
+               || '|src=10.0.0.' || CAST(turn_idx % 255 AS VARCHAR)
+               || ' act=' || role || ' cnt=' || CAST(turn_idx AS VARCHAR) AS raw
+        FROM read_parquet('{tp}') WHERE turn_idx % 4 = 2)
+      SELECT conv_id, turn_idx,
+             {",             ".join(_cef_hdr)},
+             '10.0.0.' || CAST(turn_idx % 255 AS VARCHAR) AS ext_src,
+             role AS ext_act,
+             CAST(turn_idx AS VARCHAR) AS ext_cnt
+      FROM lines"""
+
+    # reduce merge strategies: arg_min/arg_max need a SCALAR key in
+    # DuckDB, so the (size, order) tie-break becomes size*1e6 +/- order
+    # (turn_idx < 6 in this query, far below 1e6)
+    _toks = "string_split(text, ' ')"
+    o["reduce_merge_strategies"] = f"""SELECT conv_id,
+        string_agg(text, '' ORDER BY turn_idx) AS raw_concat,
+        array_to_string(arg_min({_toks}, len({_toks}) * 1000000 + turn_idx), ' ') AS shortest_toks,
+        array_to_string(arg_max({_toks}, len({_toks}) * 1000000 - turn_idx), ' ') AS longest_toks,
+        min(ts) AS ts, max(ts) AS ts_end, count(*) AS n_merged
+      FROM read_parquet('{tp}') WHERE turn_idx < 6 GROUP BY conv_id"""
+
+    o["log_to_metric_gauge"] = """SELECT
+        CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+        'gauge_' || event_type AS name, 'absolute' AS kind,
+        count(*) AS n,
+        round(min(value), 6) AS gauge_min, round(max(value), 6) AS gauge_max
+      FROM events GROUP BY 1, 2"""
+
+    o["log_to_metric_set"] = """SELECT
+        CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+        'users_' || event_type AS name,
+        count(DISTINCT CAST(user_id AS VARCHAR)) AS set_size,
+        count(*) AS n_events
+      FROM events GROUP BY 1, 2"""
+
+    o["log_to_metric_all"] = """SELECT event_type AS name,
+        'vector' AS namespace,
+        CASE WHEN event_id % 97 = 0 THEN NULL
+             WHEN value < 50 THEN 'incremental' ELSE 'absolute' END AS kind,
+        round(value, 6) AS value, ts, user_id AS tag_user
+      FROM events"""
+
+    o["trace_to_log"] = f"""SELECT conv_id, turn_idx AS span_id,
+        tool AS service, ts, 'log' AS event_kind
+      FROM read_parquet('{tp}') WHERE tool IS NOT NULL"""
+
+    o["sample_key_exclude"] = f"""SELECT conv_id, turn_idx, role,
+        CASE WHEN role = 'system' THEN NULL ELSE 5 END AS sample_rate
+      FROM read_parquet('{tp}')
+      WHERE ({_SAMPLE_HASH_SQL}) % 5 = 0 OR role = 'system'"""
+
+    # bloom-mode cardinality: the oracle uses EXACT distinct counts — the
+    # HLL sketch is exact at these cardinalities (sparse mode), which is
+    # precisely what the fixture sizes (10 vs 60 distinct) guarantee
+    _tag = ("user_id % (CASE WHEN event_type IN ('click', 'view') "
+            "THEN 10 ELSE 60 END)")
+    o["tag_cardinality_bloom"] = f"""WITH tagged AS (
+        SELECT event_type, {_tag} AS tag FROM events),
+      over_scopes AS (SELECT event_type FROM tagged
+                      GROUP BY event_type HAVING count(DISTINCT tag) > 30)
+      SELECT t.event_type,
+             count(*) AS n_events,
+             CAST(count(CASE WHEN o.event_type IS NULL THEN t.tag END) AS BIGINT) AS n_tagged,
+             count(DISTINCT CASE WHEN o.event_type IS NULL THEN t.tag END) AS n_distinct_tags
+      FROM tagged t LEFT JOIN over_scopes o USING (event_type)
+      GROUP BY t.event_type"""
+
     o["remap_dropped_port"] = f"""WITH {P}
       SELECT conv_id, turn_idx,
              'error' AS dropped_reason,
@@ -926,9 +1318,13 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
     o["dedup_ngram_jaccard"] = dp_oracle.ngram_jaccard_sql(min_shared=2, max_df=10)
     o["dedup_minhash_lsh"] = dp_oracle.minhash_lsh_sql()
     o["dedup_simhash"] = dp_oracle.simhash_sql()
+    _cents = _ivf_centroids(os.path.join("/root/testdata", sf))
     o["dedup_embedding_cosine"] = dp_oracle.embedding_neardup_sql(min_cosine=0.35)
+    o["dedup_embedding_ivf"] = dp_oracle.embedding_neardup_sql(
+        min_cosine=0.35, centroids=_cents)
     o["ann_brute_topk"] = dp_oracle.ann_topk_sql(k=5, query_mod=25, bucketed=False)
-    o["ann_ivf_topk"] = dp_oracle.ann_topk_sql(k=5, query_mod=25, bucketed=True)
+    o["ann_ivf_topk"] = dp_oracle.ann_topk_sql(k=5, query_mod=25,
+                                               centroids=_cents, nprobe=2)
     o["media_byte_features"] = dp_oracle.media_features_sql()
     # media_decode_stub: pandas-UDF path, deliberately no SQL oracle
 

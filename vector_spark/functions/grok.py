@@ -60,6 +60,13 @@ PATTERNS: dict[str, str] = {
     "URIPATH": r"/[^\s?#]*",
     "PATH": r"/[^\s?#]*",
     "QS": r"\"[^\"]*\"",
+    # nginx error_log timestamp: 2024/01/15 10:00:00
+    "DATESTAMP_NGINX": r"\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}",
+    # klog/glog header pieces: I0813 16:33:35.233394
+    "KLOGLEVEL": r"[IWEF]",
+    "KLOGDATE": r"\d{4}",
+    # one CEF header field: pipes escaped as \| and backslashes as \\
+    "CEFFIELD": r"(?:\\.|[^|\\])*",
 }
 
 # presets mirroring the VRL parse_*_log family (parse_apache_log.cue etc.)

@@ -1,0 +1,147 @@
+"""Grok-preset VRL parse family: nginx / klog / glog / CEF.
+
+Reference semantics (public VRL docs under
+website/cue/reference/remap/functions/): ``parse_nginx_log`` (combined +
+error formats, parse_nginx_log.cue), ``parse_klog`` / ``parse_glog``
+(parse_klog.cue, parse_glog.cue), ``parse_common_log`` /
+``parse_apache_log`` (already covered by %{COMMONAPACHELOG} in grok.py),
+and ``parse_cef`` (parse_cef.cue).
+
+All presets compile once on the driver through the grok compiler
+(functions/grok.py) and run as ONE JVM-side regex pass per row — no
+Python in the hot path. Failed parses yield NULL fields (forward-original
+policy, src/transforms/remap.rs:568-587).
+
+The exact compiled regexes are exported so the DuckDB oracle extracts
+with the SAME pattern string — Spark and oracle cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_spark.functions.grok import (
+    CompiledGrok,
+    compile_grok,
+    grok_fields,
+    parse_grok,
+)
+
+# --- nginx combined (default access_log format) -------------------------
+# $remote_addr - $remote_user [$time_local] "$request" $status
+# $body_bytes_sent "$http_referer" "$http_user_agent"
+NGINX_COMBINED = (
+    "%{IPORHOST:client} %{NOTSPACE:ident} %{NOTSPACE:user} "
+    r"\[%{HTTPDATE:timestamp}\] "
+    '"%{HTTPMETHOD:method} %{NOTSPACE:path} HTTP/%{NUMBER:protocol}" '
+    '%{POSINT:status:int} %{NONNEGINT:size:int} '
+    '"%{DATA:referer}" "%{DATA:agent}"'
+)
+
+# --- nginx error_log -----------------------------------------------------
+# 2024/01/15 10:00:00 [error] 123#45: *678 message
+NGINX_ERROR = (
+    "%{DATESTAMP_NGINX:timestamp} "
+    r"\[%{WORD:severity}\] %{POSINT:pid:int}#%{POSINT:tid:int}: "
+    r"\*%{POSINT:cid:int} %{GREEDYDATA:message}"
+)
+
+# --- klog / glog ---------------------------------------------------------
+# I0813 16:33:35.233394   42302 server.go:144] message
+KLOG = (
+    "%{KLOGLEVEL:level}%{KLOGDATE:mmdd} %{TIME:time}"
+    r"\s+%{POSINT:id:int} %{NOTSPACE:file}:%{POSINT:line:int}\] "
+    "%{GREEDYDATA:message}"
+)
+
+# --- CEF header ----------------------------------------------------------
+# CEF:0|Vendor|Product|Version|EventClassID|Name|Severity|k=v k=v ...
+CEF = (
+    r"CEF:%{POSINT:cef_version:int}\|%{CEFFIELD:device_vendor}\|"
+    r"%{CEFFIELD:device_product}\|%{CEFFIELD:device_version}\|"
+    r"%{CEFFIELD:event_class_id}\|%{CEFFIELD:name}\|%{CEFFIELD:severity}\|"
+    "%{GREEDYDATA:extension}"
+)
+
+_KLOG_LEVELS = {"I": "info", "W": "warning", "E": "error", "F": "fatal"}
+
+
+def compiled_nginx_combined() -> CompiledGrok:
+    return compile_grok(NGINX_COMBINED)
+
+
+def compiled_nginx_error() -> CompiledGrok:
+    return compile_grok(NGINX_ERROR)
+
+
+def compiled_klog() -> CompiledGrok:
+    return compile_grok(KLOG)
+
+
+def compiled_cef() -> CompiledGrok:
+    return compile_grok(CEF)
+
+
+def parse_nginx_log(df: DataFrame, format: str = "combined",
+                    text_col: str = "text") -> DataFrame:
+    """VRL parse_nginx_log (parse_nginx_log.cue): combined access-log or
+    error-log lines -> typed columns; NULL fields on non-match."""
+    if format == "combined":
+        return parse_grok(df, NGINX_COMBINED, text_col)
+    if format == "error":
+        return parse_grok(df, NGINX_ERROR, text_col)
+    raise ValueError(f"parse_nginx_log: unsupported format {format!r}")
+
+
+def klog_level_expr(raw_level: Column) -> Column:
+    """I/W/E/F -> info/warning/error/fatal (parse_klog.cue level table)."""
+    expr = None
+    for ch, name in _KLOG_LEVELS.items():
+        expr = (F.when(raw_level == ch, F.lit(name)) if expr is None
+                else expr.when(raw_level == ch, F.lit(name)))
+    return expr
+
+
+def parse_klog(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """VRL parse_klog (parse_klog.cue): Kubernetes klog header + message.
+    Emits ``level`` as the mapped word (info/warning/error/fatal) and the
+    raw header pieces (mmdd, time, id, file, line, message)."""
+    out = parse_grok(df, KLOG, text_col)
+    return out.withColumn("level", klog_level_expr(F.col("level")))
+
+
+def parse_glog(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """VRL parse_glog (parse_glog.cue): Google glog shares the klog
+    header shape — same compiled pattern, same level mapping."""
+    return parse_klog(df, text_col)
+
+
+def cef_unescape(col: Column) -> Column:
+    r"""CEF header fields escape ``|`` as ``\|`` and ``\`` as ``\\``
+    (parse_cef.cue examples)."""
+    return F.regexp_replace(col, r"\\([|\\])", "$1")
+
+
+def parse_cef(df: DataFrame, text_col: str = "text",
+              extension_keys: list[str] | None = None) -> DataFrame:
+    """VRL parse_cef (parse_cef.cue): split the 7 pipe-delimited header
+    fields (unescaping ``\\|``/``\\\\``) + the trailing extension.
+
+    ``extension_keys``: optionally project specific ``k=v`` extension
+    pairs to their own columns (space-separated unquoted values — the CEF
+    base form; quoted/escaped extension values are out of scope and
+    documented as a delta). The full extension also lands in
+    ``cef_ext`` as map<string,string>.
+    """
+    out = parse_grok(df, CEF, text_col)
+    for f_ in ("device_vendor", "device_product", "device_version",
+               "event_class_id", "name", "severity"):
+        out = out.withColumn(f_, cef_unescape(F.col(f_)))
+    out = out.withColumn(
+        "cef_ext",
+        F.when(F.col("extension").isNotNull(),
+               F.str_to_map(F.col("extension"), F.lit(" "), F.lit("="))))
+    for k in extension_keys or []:
+        out = out.withColumn(f"ext_{k}", F.col("cef_ext")[k])
+    return out

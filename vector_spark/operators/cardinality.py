@@ -1,12 +1,20 @@
 """tag_cardinality_limit (reference: src/transforms/tag_cardinality_limit/mod.rs:26-118).
 
 Cap the number of distinct values per tag key; on exceed either drop the
-tag (null it) or drop the event. The reference accepts the first
-``value_limit`` values seen (exact HashSet mode).
+tag (null it) or drop the event. The reference has two modes
+(config.rs:15): ``exact`` (HashSet, accepts the first ``value_limit``
+values seen) and ``probabilistic`` (Bloom filter, fixed memory).
 
-Batch mapping: first-seen rank per (tag_key scope, value) = dense rank of
-(min event order) — two hash aggregations + a broadcast-able join back,
-no per-row state.
+Batch mapping, exact mode: first-seen rank per (tag_key scope, value) =
+dense rank of (min event order) — two hash aggregations + a
+broadcast-able join back, no per-row state.
+
+Probabilistic mode analogue: an ``approx_count_distinct`` (HyperLogLog++)
+guard per scope — O(1) sketch memory like the reference's Bloom filter.
+Documented delta: the Bloom reference still admits the first values seen
+within an over-limit key; the HLL guard instead applies the action to the
+WHOLE over-limit scope (it cannot attribute first-seen order without
+exact state). Under-limit scopes pass through untouched in both.
 """
 
 from __future__ import annotations
@@ -39,4 +47,30 @@ def tag_cardinality_limit(
         return joined.withColumn(
             tag_col, F.when(F.col("__allowed").isNotNull(), F.col(tag_col))
         ).drop("__allowed")
+    raise ValueError(f"unknown action {action!r}")
+
+
+def tag_cardinality_limit_probabilistic(
+    df: DataFrame, scope_cols: list[str], tag_col: str, value_limit: int,
+    action: str = "drop_tag", rsd: float = 0.05,
+) -> DataFrame:
+    """Bloom-mode analogue (config.rs:15 ``mode: probabilistic``): guard
+    each scope with a HyperLogLog++ distinct-count sketch instead of an
+    exact set. The over-limit scope set is tiny (one row per hot scope),
+    so the join back broadcasts. ``rsd``: HLL relative standard deviation
+    — exact for small cardinalities (sparse mode), ~rsd error beyond."""
+    over = (
+        df.groupBy(*scope_cols)
+        .agg(F.approx_count_distinct(tag_col, rsd).alias("__acd"))
+        .where(F.col("__acd") > value_limit)
+        .select(*scope_cols)
+        .withColumn("__over", F.lit(True))
+    )
+    joined = df.join(F.broadcast(over), on=list(scope_cols), how="left")
+    if action == "drop_event":
+        return joined.filter(F.col("__over").isNull()).drop("__over")
+    if action == "drop_tag":
+        return joined.withColumn(
+            tag_col, F.when(F.col("__over").isNull(), F.col(tag_col))
+        ).drop("__over")
     raise ValueError(f"unknown action {action!r}")

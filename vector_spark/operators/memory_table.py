@@ -38,12 +38,21 @@ class MemoryTable:
     def _current_file(self) -> str:
         return os.path.join(self.path, "CURRENT")
 
-    def _current_version(self) -> int:
+    def _current_state(self) -> tuple[int, int]:
+        """(version, last_merged_epoch); epoch -1 when never stamped.
+        Both live in ONE pointer file so the flip stays atomic."""
         try:
             with open(self._current_file()) as f:
-                return int(f.read().strip())
+                parts = f.read().split()
+            return int(parts[0]), int(parts[1]) if len(parts) > 1 else -1
         except FileNotFoundError:
-            return -1
+            return -1, -1
+
+    def _current_version(self) -> int:
+        return self._current_state()[0]
+
+    def last_epoch(self) -> int:
+        return self._current_state()[1]
 
     def _snapshot_dir(self, version: int) -> str:
         return os.path.join(self.path, f"v{version:06d}")
@@ -55,19 +64,27 @@ class MemoryTable:
         return self.spark.read.parquet(self._snapshot_dir(v))
 
     # -- write side (the "sink" role) ----------------------------------
-    def merge(self, updates: DataFrame) -> int:
+    def merge(self, updates: DataFrame, epoch: int | None = None) -> int:
         """Latest-per-key merge of ``updates`` (must carry key + ts_col)
-        into a new snapshot; returns the new version."""
+        into a new snapshot; returns the new version.
+
+        ``epoch``: streaming callers pass their foreachBatch epoch_id;
+        a replayed epoch (<= the last one stamped into the pointer file)
+        is SKIPPED, so crash-replay cannot double-fold accumulating
+        fields like seen_count (round-1 ADVICE defect)."""
+        ver, last_ep = self._current_state()
+        if epoch is not None and epoch <= last_ep:
+            return ver  # replay of an already-merged epoch: idempotent no-op
         cur = self.snapshot()
         merged = updates if cur is None else cur.unionByName(updates, allowMissingColumns=True)
         w = Window.partitionBy(self.key).orderBy(F.desc(self.ts_col))
         latest = (merged.withColumn("__rn", F.row_number().over(w))
                   .filter(F.col("__rn") == 1).drop("__rn"))
-        v = self._current_version() + 1
+        v = ver + 1
         latest.coalesce(1).write.mode("overwrite").parquet(self._snapshot_dir(v))
         tmp = self._current_file() + f".tmp-{os.getpid()}"
         with open(tmp, "w") as f:
-            f.write(str(v))
+            f.write(f"{v} {epoch if epoch is not None else last_ep}")
         os.replace(tmp, self._current_file())  # atomic pointer flip
         return v
 

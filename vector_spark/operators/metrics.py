@@ -30,6 +30,83 @@ def log_to_metric_counter(
     return df.select(*cols)
 
 
+def log_to_metric_gauge(
+    df: DataFrame, name: Column, value: Column, tags: dict[str, Column],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gauge rule (reference src/transforms/log_to_metric.rs:142: GaugeConfig):
+    one ABSOLUTE metric per log with the field's value."""
+    cols = [
+        name.alias("name"),
+        F.lit("vector").alias("namespace"),
+        F.lit("absolute").alias("kind"),
+        value.cast("double").alias("value"),
+        F.col(ts_col).alias("ts"),
+    ] + [c.alias(f"tag_{k}") for k, c in tags.items()]
+    return df.select(*cols)
+
+
+def log_to_metric_set(
+    df: DataFrame, name: Column, member: Column, tags: dict[str, Column],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Set rule (log_to_metric.rs SetConfig): each log contributes one
+    MEMBER to the series' set; downstream aggregation counts distinct
+    members (MetricValue::Set, value.rs:20-83)."""
+    cols = [
+        name.alias("name"),
+        F.lit("vector").alias("namespace"),
+        F.lit("incremental").alias("kind"),
+        member.cast("string").alias("member"),
+        F.col(ts_col).alias("ts"),
+    ] + [c.alias(f"tag_{k}") for k, c in tags.items()]
+    return df.select(*cols)
+
+
+def aggregate_set(
+    df: DataFrame, series_cols: list[str], member_col: str, ts_col: str,
+    interval_secs: int,
+) -> DataFrame:
+    """Set cardinality per (window, series) — the aggregate form of
+    MetricValue::Set (value.rs:20-83). Map-side partial distinct keeps the
+    shuffle bounded by the per-partition distinct member count; swap
+    count_distinct for approx_count_distinct at unbounded member
+    cardinality."""
+    win = (F.floor(F.unix_timestamp(F.col(ts_col)) / interval_secs)
+           * interval_secs).cast("long").alias("window_start")
+    return df.groupBy(win, *series_cols).agg(
+        F.countDistinct(F.col(member_col)).alias("set_size"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def log_to_metric_all(
+    df: DataFrame, name_col: str, value_col: str, kind: Column,
+    ts_col: str = "ts", tag_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """``all_metrics: true`` mode (log_to_metric.rs:519-768): the log
+    already IS metric-shaped — project its fields straight into the
+    metrics schema instead of applying per-field rules. ``kind`` must
+    evaluate to 'incremental' or 'absolute'; anything else poisons the
+    row with NULL kind (the reference drops such events with an error)."""
+    k = F.when(kind.isin("incremental", "absolute"), kind)
+    cols = [
+        F.col(name_col).alias("name"),
+        F.lit("vector").alias("namespace"),
+        k.alias("kind"),
+        F.col(value_col).cast("double").alias("value"),
+        F.col(ts_col).alias("ts"),
+    ] + [F.col(src).alias(f"tag_{dst}") for dst, src in (tag_cols or {}).items()]
+    return df.select(*cols)
+
+
+def trace_to_log(df: DataFrame, span_cols: list[str]) -> DataFrame:
+    """trace_to_log (reference src/transforms/trace_to_log.rs:17): a
+    TraceEvent is already a LogEvent tree — the transform is a marker
+    projection. We keep the span fields and stamp the event kind."""
+    return df.select(*span_cols, F.lit("log").alias("event_kind"))
+
+
 def metric_to_log(df: DataFrame) -> DataFrame:
     """Metric event -> structured log projection (column renames +
     a message synthesized from the series)."""
@@ -67,18 +144,28 @@ def aggregate_histogram(
 def aggregate_summary(
     df: DataFrame, series_cols: list[str], value_col: str, ts_col: str,
     interval_secs: int, quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    exact: bool = False, accuracy: int = 10000,
 ) -> DataFrame:
-    """Distribution -> AggregatedSummary (value.rs:20-83): exact
-    interpolated quantiles per (window, series). Exact percentile is a
-    full-sort-per-group agg — fine for bounded windows; swap to
-    approx_percentile for unbounded cardinality at scale."""
+    """Distribution -> AggregatedSummary (value.rs:20-83): quantiles per
+    (window, series).
+
+    Default is ``approx_percentile`` (Greenwald-Khanna sketch): mergeable
+    map-side partials, O(accuracy) state per group — the 100-TB path.
+    ``exact=True`` switches to exact interpolated percentiles (full
+    sort-per-group) — used by the DuckDB-oracle query, where cross-engine
+    equality requires the exact definition; a scale-killer at high series
+    cardinality, so it is the opt-in, not the default."""
     v = F.col(value_col).cast("double")
     win = (F.floor(F.unix_timestamp(F.col(ts_col)) / interval_secs)
            * interval_secs).cast("long").alias("window_start")
-    aggs = [
-        F.percentile(v, F.lit(q)).alias(f"q{str(q).replace('0.', '')}")
-        for q in quantiles
-    ] + [F.count(v).alias("count"), F.sum(v).alias("sum")]
+    if exact:
+        qaggs = [F.percentile(v, F.lit(q)).alias(f"q{str(q).replace('0.', '')}")
+                 for q in quantiles]
+    else:
+        qaggs = [F.percentile_approx(v, F.lit(q), F.lit(accuracy))
+                 .alias(f"q{str(q).replace('0.', '')}")
+                 for q in quantiles]
+    aggs = qaggs + [F.count(v).alias("count"), F.sum(v).alias("sum")]
     return df.groupBy(win, *series_cols).agg(*aggs)
 
 

@@ -48,8 +48,16 @@ def merge_agg(field: str, strategy: str, order_col: str = "turn_idx") -> Column:
         return F.array_join(_ordered_list(v, o), " ").alias(f"{field}_concat")
     if strategy == "concat_newline":
         return F.array_join(_ordered_list(v, o), "\n").alias(f"{field}_concat")
+    if strategy == "concat_raw":  # no delimiter (merge_strategy.rs ConcatRaw)
+        return F.array_join(_ordered_list(v, o), "").alias(f"{field}_concat")
     if strategy == "flat_unique":
         return F.array_distinct(_ordered_list(v, o)).alias(f"{field}_uniq")
+    if strategy == "shortest_array":
+        # keep the shortest array value seen; ties -> first in event order
+        return F.min_by(v, F.struct(F.size(v).alias("n"), o.alias("o"))).alias(f"{field}_shortest")
+    if strategy == "longest_array":
+        # longest wins; ties -> first (max_by on (size, -order))
+        return F.max_by(v, F.struct(F.size(v).alias("n"), (-o).alias("o"))).alias(f"{field}_longest")
     raise ValueError(f"unknown merge strategy {strategy!r}")
 
 

@@ -18,17 +18,23 @@ from pyspark.sql import functions as F
 
 def sample_by_key(
     df: DataFrame, key: str | Column, rate: int,
-    hash_expr: Column | None = None, sample_rate_field: str = "sample_rate",
+    hash_expr: Column | None = None, exclude: Column | None = None,
+    sample_rate_field: str = "sample_rate",
 ) -> DataFrame:
     """Consistent hash sampling: no shuffle, no state, embarrassingly
     parallel. ``hash_expr`` overrides the hash (used by the oracle-checked
-    query with a cross-engine arithmetic hash)."""
+    query with a cross-engine arithmetic hash). ``exclude`` rows bypass
+    sampling (kept, NULL sample_rate) — the reference applies exclude in
+    every mode (transform.rs:21-92)."""
     key_col = F.col(key) if isinstance(key, str) else key
     h = hash_expr if hash_expr is not None else F.xxhash64(key_col)
-    return (
-        df.filter(F.pmod(h, F.lit(rate)) == 0)
-        .withColumn(sample_rate_field, F.lit(rate))
-    )
+    keep = F.pmod(h, F.lit(rate)) == 0
+    if exclude is None:
+        return df.filter(keep).withColumn(sample_rate_field, F.lit(rate))
+    exc = F.coalesce(exclude, F.lit(False))
+    return (df.filter(keep | exc)
+            .withColumn(sample_rate_field,
+                        F.when(exc, F.lit(None).cast("int")).otherwise(F.lit(rate))))
 
 
 def sample_by_ratio(
@@ -54,13 +60,26 @@ def sample_by_ratio(
 
 def sample_by_count(
     df: DataFrame, group_by: list[str], order_by: list[str], rate: int,
-    sample_rate_field: str = "sample_rate",
+    exclude: Column | None = None, sample_rate_field: str = "sample_rate",
 ) -> DataFrame:
-    """Counter mode: keep every rate-th event per group in stable order."""
+    """Counter mode: keep every rate-th event per group in stable order.
+    ``exclude`` rows bypass AND do not consume the counter (reference
+    transform.rs:21-92: excluded events skip rate limiting entirely)."""
     w = Window.partitionBy(*group_by).orderBy(*order_by)
+    if exclude is None:
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") - 1) % rate == 0)
+            .drop("__rn")
+            .withColumn(sample_rate_field, F.lit(rate))
+        )
+    exc = F.coalesce(exclude, F.lit(False))
+    counted = F.when(exc, 0).otherwise(1)
+    rn = F.sum(counted).over(w.rowsBetween(Window.unboundedPreceding, 0))
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") - 1) % rate == 0)
-        .drop("__rn")
-        .withColumn(sample_rate_field, F.lit(rate))
+        df.withColumn("__exc", exc).withColumn("__rn", rn)
+        .filter(F.col("__exc") | ((F.col("__rn") - 1) % rate == 0))
+        .withColumn(sample_rate_field,
+                    F.when(F.col("__exc"), F.lit(None).cast("int")).otherwise(F.lit(rate)))
+        .drop("__rn", "__exc")
     )

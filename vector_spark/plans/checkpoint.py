@@ -34,6 +34,32 @@ from pyspark.sql import functions as F
 MANIFEST = "manifest.json"
 
 
+def content_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of an input file/dir: md5 over the
+    sorted (relative path, size, mtime_ns) listing. An in-place rewrite
+    of the input changes the fingerprint, so a resume restarts instead of
+    silently mixing old and new bucket outputs (round-1 ADVICE: passing
+    the path string let exactly that happen). No data is read — at 100 TB
+    this is a metadata-only listing, the same signal the reference's file
+    fingerprinter uses (checksums of metadata, not content bytes)."""
+    import hashlib
+
+    h = hashlib.md5()
+    entries = []
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            for name in files:
+                p = os.path.join(root, name)
+                st = os.stat(p)
+                entries.append((os.path.relpath(p, path), st.st_size, st.st_mtime_ns))
+    else:
+        st = os.stat(path)
+        entries.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
+    for e in sorted(entries):
+        h.update(repr(e).encode())
+    return h.hexdigest()
+
+
 def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, MANIFEST)
 
@@ -87,8 +113,15 @@ def run_checkpointed(
         bucket_out = os.path.join(out_dir, f"bucket={i}")
         t0 = time.perf_counter()
         part.write.mode("overwrite").partitionBy("route").parquet(bucket_out)
+        # stats come from the files just written (footer counts + one
+        # narrow scan of the text column) — NOT from re-running the full
+        # pipeline on the predicate, which doubled the work per bucket
+        # and could diverge from the written files if the input changed
+        # between the two jobs (round-1 ADVICE)
+        spark = routed_df.sparkSession
         stats_rows = (
-            part.groupBy("route")
+            spark.read.parquet(bucket_out)
+            .groupBy("route")
             .agg(F.count("*").alias("rows"), F.sum(F.length("text")).alias("bytes"))
             .collect()
         )

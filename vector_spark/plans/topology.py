@@ -256,9 +256,15 @@ class Topology:
         return dict(self._built)
 
     # -- run ------------------------------------------------------------
-    def run(self, out_dir: str | None = None) -> dict[str, int]:
+    def run(self, out_dir: str | None = None,
+            telemetry_dir: str | None = None) -> dict[str, int]:
         """Execute all sinks; returns per-sink row counts
-        (component_sent_events_total, reference docs/specs/component.md:223)."""
+        (component_sent_events_total, reference docs/specs/component.md:223).
+
+        ``telemetry_dir``: persist the counters as a real metrics table
+        (one append per run) — the internal_metrics source analogue
+        (docs/specs/component.md:125). Query it like any other table:
+        ``spark.read.parquet(telemetry_dir)``."""
         counts: dict[str, int] = {}
         for name, cfg in self.sinks.items():
             df = self._inputs(cfg)
@@ -272,6 +278,14 @@ class Topology:
                 counts[name] = df.count()
             elif kind == "noop":
                 counts[name] = df.count()
+            elif kind == "tap":
+                # `vector tap` analogue (§3.3): a consistent-hash sampled
+                # side-output of the edge feeding this sink — bounded,
+                # deterministic, no RNG, no extra shuffle
+                path = cfg.get("path") or os.path.join(out_dir or ".", name)
+                write_tap(df, path, fraction=cfg.get("fraction", 0.01),
+                          key_cols=cfg.get("key_cols"))
+                counts[name] = self.spark.read.parquet(path).count()
             elif kind == "file":
                 from vector_spark.sinks.file_sink import file_sink
 
@@ -284,7 +298,39 @@ class Topology:
                 counts[name] = df.count()
             else:
                 raise TopologyError(f"unknown sink type {kind!r}")
+        if telemetry_dir is not None:
+            write_telemetry(self.spark, counts, telemetry_dir)
         return counts
+
+
+def write_telemetry(spark: SparkSession, counts: dict[str, int],
+                    telemetry_dir: str) -> None:
+    """Persist per-component counters as an appendable metrics parquet —
+    rows shaped like the reference's internal metrics events
+    (component_id, metric, value, run id). Tiny driver-side write."""
+    import time
+    import uuid
+
+    run_id = uuid.uuid4().hex
+    now = time.time()
+    rows = [(name, "sink", "component_sent_events_total", int(n), run_id, float(now))
+            for name, n in sorted(counts.items())]
+    (spark.createDataFrame(
+        rows, "component_id string, component_kind string, metric string, "
+              "value long, run_id string, run_ts double")
+     .coalesce(1).write.mode("append").parquet(telemetry_dir))
+
+
+def write_tap(df: DataFrame, path: str, fraction: float = 0.01,
+              key_cols: list[str] | None = None) -> None:
+    """Sampled side-output writer (`vector tap` / §3.3 analogue): keep a
+    consistent-hash fraction of the rows flowing an edge. Deterministic
+    (same rows every run — xxhash64 of the key, no RNG), narrow (filter
+    pushed into the scan side), and safe at 100 TB because the written
+    volume is bounded by ``fraction``."""
+    keys = [F.col(c) for c in (key_cols or df.columns)]
+    h = F.pmod(F.xxhash64(*keys), F.lit(1_000_000))
+    df.where(h < int(fraction * 1_000_000)).write.mode("overwrite").parquet(path)
 
 
 def build_topology(spark: SparkSession, spec: dict) -> Topology:

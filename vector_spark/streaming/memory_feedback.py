@@ -59,8 +59,13 @@ def run_memory_feedback(
             })
         else:
             annotated = table.lookup(batch_df, on=key, as_of=ts_col)
+        # epoch-keyed dynamic overwrite: a replayed epoch rewrites only
+        # its own partition instead of appending duplicates
         (annotated.withColumn("epoch_id", F.lit(epoch_id))
-         .write.mode("append").parquet(os.path.join(out_dir, "events")))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch_id")
+         .parquet(os.path.join(out_dir, "events")))
         # 2. merge: fold this batch's keys into the table
         updates = (batch_df.groupBy(key).agg(
             F.max(ts_col).alias("updated_at"),
@@ -83,7 +88,9 @@ def run_memory_feedback(
                 ))
         else:
             merged = updates
-        table.merge(merged)
+        # epoch stamp makes a crash-replayed batch a no-op merge (the
+        # seen_count accumulation would otherwise double on replay)
+        table.merge(merged, epoch=epoch_id)
 
     q = (stream_transcripts(spark, src_dir, max_files_per_trigger=1)
          .writeStream.foreachBatch(process_batch)

@@ -11,9 +11,12 @@ Pieces:
   (stand-in for the Kafka/Iceberg stream source; same fixed schema).
 - ``run_streaming_fanout``: foreachBatch fan-out — parse -> broadcast
   enrich -> non-exclusive route, persist the batch once, one
-  partitionBy("route") write + per-sink counters into an append-only
-  metrics dir. Checkpointed (``checkpointLocation``) so a killed query
-  resumes from the last committed epoch — exactly-once per sink dir.
+  partitionBy(epoch_id, route) write + per-epoch counters. Writes are
+  keyed by epoch and use dynamic partition overwrite, so a crash between
+  the write and the checkpoint commit REPLAYS the epoch onto its own
+  partitions instead of appending duplicates — idempotent replay =
+  effectively-once per sink dir (plain mode('append') here was the
+  round-1 at-least-once bug).
 - ``streaming_windowed_counts``: watermarked tumbling event-time window
   per route (the streaming twin of aggregate interval_ms,
   reference src/transforms/aggregate.rs:323-356).
@@ -81,11 +84,20 @@ def run_streaming_fanout(spark: SparkSession, src_dir: str, out_dir: str,
         routed = route_exploded(_enriched(spark, batch_df), flagship_conditions())
         routed.persist()
         try:
-            (routed.write.mode("append").partitionBy("route")
+            # epoch-keyed dynamic partition overwrite: a replayed epoch
+            # (crash between write and checkpoint commit) rewrites ONLY
+            # its own epoch_id partitions — no duplicate rows/counters
+            (routed.withColumn("epoch_id", F.lit(epoch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch_id", "route")
              .parquet(os.path.join(out_dir, "sinks")))
             counts = (routed.groupBy("route").agg(F.count("*").alias("n"))
                       .withColumn("epoch_id", F.lit(epoch_id)))
-            counts.write.mode("append").parquet(os.path.join(out_dir, "metrics"))
+            (counts.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch_id")
+             .parquet(os.path.join(out_dir, "metrics")))
         finally:
             routed.unpersist()
 
