@@ -1,0 +1,58 @@
+"""CIDR-range enrichment (geoip/mmdb analogue) + ip VRL functions.
+
+The oracle query covers the non-overlapping fixture table; these tests
+cover what it can't: longest-prefix resolution of OVERLAPPING networks,
+bucket expansion across /8 boundaries, and the plan shape (broadcast
+hash join, not nested-loop)."""
+
+from pyspark.sql import functions as F
+
+from vector_spark.functions.vrl import _cidr_range, ip_cidr_contains, ip_subnet
+from vector_spark.operators.geoip import _disjoint_intervals, enrich_cidr
+
+
+def test_cidr_range_math():
+    assert _cidr_range("10.0.0.0/8") == (167772160, 184549375)
+    assert _cidr_range("10.0.128.0/18") == (167804928, 167821311)
+    assert _cidr_range("1.2.3.4/32") == (16909060, 16909060)
+    assert _cidr_range("0.0.0.0/0") == (0, 4294967295)
+
+
+def test_longest_prefix_wins_on_overlap(spark):
+    table = spark.createDataFrame(
+        [("10.0.0.0/8", "broad"), ("10.1.0.0/16", "mid"), ("10.1.2.0/24", "narrow")],
+        "cidr string, zone string")
+    df = spark.createDataFrame(
+        [("10.1.2.3",), ("10.1.9.9",), ("10.9.9.9",), ("11.0.0.1",)], "ip string")
+    got = {r["ip"]: r["zone"] for r in enrich_cidr(df, table, "ip").collect()}
+    assert got == {"10.1.2.3": "narrow",   # covered by all three -> /24
+                   "10.1.9.9": "mid",      # /8 and /16 -> /16
+                   "10.9.9.9": "broad",    # /8 only
+                   "11.0.0.1": None}       # uncovered -> NULL (left join)
+    # exactly one output row per input row even under nested overlap
+    assert enrich_cidr(df, table, "ip").count() == 4
+
+
+def test_wide_cidr_spans_multiple_buckets(spark):
+    table = spark.createDataFrame([("10.0.0.0/7", "wide")], "cidr string, zone string")
+    df = spark.createDataFrame([("10.200.0.1",), ("11.3.4.5",), ("12.0.0.1",)], "ip string")
+    got = {r["ip"]: r["zone"] for r in enrich_cidr(df, table, "ip").collect()}
+    assert got == {"10.200.0.1": "wide", "11.3.4.5": "wide", "12.0.0.1": None}
+
+
+def test_enrich_cidr_is_broadcast_hash_join(spark):
+    table = spark.createDataFrame([("10.0.0.0/8", "z")], "cidr string, zone string")
+    df = spark.createDataFrame([("10.0.0.1",)], "ip string")
+    plan = enrich_cidr(df, table, "ip")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ip_vrl_functions(spark):
+    df = spark.createDataFrame([("10.0.129.7",)], "ip string")
+    r = df.select(
+        ip_subnet(F.col("ip"), 18).alias("s18"),
+        ip_cidr_contains("10.0.128.0/18", F.col("ip")).alias("inside"),
+        ip_cidr_contains("10.0.0.0/18", F.col("ip")).alias("outside")).first()
+    assert r["s18"] == "10.0.128.0"
+    assert r["inside"] is True and r["outside"] is False

@@ -34,7 +34,13 @@ def _write_batch(dirpath, name, rows):
         "tool": pa.array([None] * len(rows), pa.string()),
         "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
     })
-    pq.write_table(tbl, os.path.join(dirpath, name))
+    path = os.path.join(dirpath, name)
+    pq.write_table(tbl, path)
+    # pin a distinct, strictly-increasing mtime per file: the file stream
+    # source orders batches by modification time, and same-tick mtimes
+    # let maxFilesPerTrigger coalesce/reorder files (flaky batch splits)
+    seq = int(name.split(".")[0].lstrip("b"))
+    os.utime(path, (1_700_000_000 + seq, 1_700_000_000 + seq))
 
 
 def _run(spark, src_dir, out_name, gap_secs=1800):

@@ -41,6 +41,11 @@ def _write(dirpath, name, rows):
         "tool": pa.array([r[2] for r in rows], pa.string()),
         "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
     }), os.path.join(dirpath, name))
+    # distinct increasing mtimes: the file source orders batches by
+    # modification time; same-tick writes make batch splits flaky
+    seq = int(name.split(".")[0].lstrip("b"))
+    os.utime(os.path.join(dirpath, name),
+             (1_700_000_000 + seq, 1_700_000_000 + seq))
 
 
 def test_streaming_throttle_state_spans_batches(spark, tmp_path):

@@ -514,6 +514,118 @@ def q_parse_cef(spark, sf_dir):
                       "name", "severity", "ext_src", "ext_act", "ext_cnt")
 
 
+_UA_BY_ROLE = {
+    "user": "Mozilla/5.0 (Windows NT 10.0) Chrome/120.0.0.0 Safari/537.36",
+    "assistant": "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) Version/17.0 Safari/605.1.15",
+    "system": "curl/8.5.0",
+    "tool": "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+}
+
+
+def q_enrich_geoip(spark, sf_dir):
+    """CIDR-range enrichment (geoip/mmdb analogue, geoip.rs:531): apache
+    client IPs -> region/asn via disjoint-interval broadcast join;
+    10.0.224.0/19 is uncovered so those rows keep NULL attrs."""
+    from vector_spark.operators.geoip import enrich_cidr
+    from vector_spark.sources.enrichment import ensure_geo_meta
+
+    p = (_parsed(spark, sf_dir).where(F.col("kind") == "apache_common")
+         .select("conv_id", "turn_idx", "ip"))
+    geo = spark.read.parquet(ensure_geo_meta())
+    return enrich_cidr(p, geo, ip_col="ip")
+
+
+def q_vrl_ip_ua_funcs(spark, sf_dir):
+    """VRL ip_subnet / ip_cidr_contains / parse_user_agent over apache
+    rows; UA strings synthesized per role so the oracle can derive the
+    expected families independently."""
+    from vector_spark.functions.vrl import (
+        ip_cidr_contains,
+        ip_subnet,
+        parse_user_agent,
+    )
+
+    p = (_parsed(spark, sf_dir).where(F.col("kind") == "apache_common")
+         .select("conv_id", "turn_idx", "role", "ip"))
+    ua = F.lit(None).cast("string")
+    for role, s in _UA_BY_ROLE.items():
+        ua = F.when(F.col("role") == role, s).otherwise(ua)
+    p = p.withColumn("ua", ua)
+    cols = parse_user_agent(F.col("ua"))
+    return p.select(
+        "conv_id", "turn_idx", "ip",
+        ip_subnet(F.col("ip"), 24).alias("subnet24"),
+        ip_cidr_contains("10.0.128.0/18", F.col("ip")).alias("in_ap_south"),
+        cols["browser_family"].alias("browser_family"),
+        cols["browser_version"].alias("browser_version"),
+        cols["os_family"].alias("os_family"))
+
+
+def q_vrl_misc_funcs(spark, sf_dir):
+    """VRL syslog-level/facility, parse_int/format_int (hex round-trip)
+    and parse_query_string over the syslog corpus."""
+    from vector_spark.functions import vrl
+
+    p = _parsed(spark, sf_dir).where(F.col("kind") == "syslog5424")
+    fac = vrl.syslog_facility_from_pri(F.col("pri"))
+    sev = vrl.syslog_severity_from_pri(F.col("pri"))
+    qs = F.concat(F.lit("user="), F.col("hostname"),
+                  F.lit("&attempt="), F.col("procid").cast("string"))
+    qsm = vrl.parse_query_string(qs)
+    hexs = vrl.format_int(F.col("procid"), 16)
+    return p.select(
+        "conv_id", "turn_idx",
+        fac.alias("facility_code"),
+        vrl.to_syslog_facility(fac).alias("facility"),
+        vrl.to_syslog_level(sev).alias("level_name"),
+        hexs.alias("procid_hex"),
+        vrl.parse_int(hexs, 16).alias("procid_roundtrip"),
+        qsm["user"].alias("qs_user"),
+        qsm["attempt"].cast("long").alias("qs_attempt"))
+
+
+def q_parse_xml(spark, sf_dir):
+    """parse_xml (targeted xpath extraction): XML synthesized from
+    transcript columns, parsed back — the oracle derives the expected
+    fields straight from the source columns (independent ground truth)."""
+    from vector_spark.functions.vrl import (
+        parse_xml_int,
+        parse_xml_list,
+        parse_xml_value,
+    )
+
+    t = _transcripts(spark, sf_dir).where(F.col("turn_idx") % 6 == 4)
+    xml = F.concat(
+        F.lit('<turn idx="'), F.col("turn_idx").cast("string"), F.lit('">'),
+        F.lit("<role>"), F.col("role"), F.lit("</role>"),
+        F.when(F.col("tool").isNotNull(),
+               F.concat(F.lit("<tool>"), F.col("tool"), F.lit("</tool>")))
+         .otherwise(F.lit("")),
+        F.lit("<tag>a</tag><tag>b</tag></turn>"))
+    x = t.select("conv_id", "turn_idx", xml.alias("xml"))
+    return x.select(
+        "conv_id", "turn_idx",
+        parse_xml_value(F.col("xml"), "turn/role").alias("xml_role"),
+        parse_xml_value(F.col("xml"), "turn/tool").alias("xml_tool"),
+        parse_xml_int(F.col("xml"), "turn/@idx").alias("xml_idx"),
+        F.array_join(parse_xml_list(F.col("xml"), "turn/tag/text()"), ",").alias("xml_tags"))
+
+
+def q_gzip_roundtrip(spark, sf_dir):
+    """encode_gzip/decode_gzip round-trip (encode_gzip.cue): the oracle
+    is the identity projection, so decode(encode(text)) must be lossless;
+    gzip output length rides along as a sanity column (deterministic —
+    fixed header, mtime pinned to 0)."""
+    from vector_spark.functions.codecs import decode_gzip, encode_gzip
+
+    t = _transcripts(spark, sf_dir).where(F.col("turn_idx") % 9 == 5)
+    enc = t.select("conv_id", "turn_idx",
+                   encode_gzip(F.col("text")).alias("gz"))
+    return enc.select(
+        "conv_id", "turn_idx",
+        decode_gzip(F.col("gz")).alias("text_roundtrip"))
+
+
 def q_reduce_merge_strategies(spark, sf_dir):
     """concat_raw / shortest_array / longest_array merge strategies
     (reference merge_strategy.rs:17-55) over per-conversation token
@@ -802,6 +914,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_nginx_error": q_parse_nginx_error,
     "parse_klog": q_parse_klog,
     "parse_cef": q_parse_cef,
+    "enrich_geoip": q_enrich_geoip,
+    "vrl_ip_ua_funcs": q_vrl_ip_ua_funcs,
+    "vrl_misc_funcs": q_vrl_misc_funcs,
+    "parse_xml": q_parse_xml,
+    "gzip_roundtrip": q_gzip_roundtrip,
     "reduce_merge_strategies": q_reduce_merge_strategies,
     "log_to_metric_gauge": q_log_to_metric_gauge,
     "log_to_metric_set": q_log_to_metric_set,
@@ -1239,6 +1356,79 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
              role AS ext_act,
              CAST(turn_idx AS VARCHAR) AS ext_cnt
       FROM lines"""
+
+    # geoip CIDR enrichment + ip/ua VRL functions
+    from vector_spark.functions.vrl import _cidr_range
+    from vector_spark.sources.enrichment import ensure_geo_meta
+
+    def _ip_aton_sql(col):
+        o = f"string_split({col}, '.')"
+        return (f"(CAST(({o})[1] AS BIGINT)*16777216 + CAST(({o})[2] AS BIGINT)*65536"
+                f" + CAST(({o})[3] AS BIGINT)*256 + CAST(({o})[4] AS BIGINT))")
+
+    geo = ensure_geo_meta()
+    o["enrich_geoip"] = f"""WITH {P},
+      p2 AS (SELECT conv_id, turn_idx, ip, {_ip_aton_sql('ip')} AS ipn
+             FROM parsed WHERE kind = 'apache_common'),
+      g0 AS (SELECT region, asn, string_split(cidr, '/')[1] AS net,
+                    CAST(string_split(cidr, '/')[2] AS INTEGER) AS prefix
+             FROM read_parquet('{geo}')),
+      g1 AS (SELECT region, asn, CAST(pow(2, 32 - prefix) AS BIGINT) AS shift,
+                    {_ip_aton_sql('net')} AS base FROM g0),
+      g2 AS (SELECT region, asn, base - (base % shift) AS net_start,
+                    base - (base % shift) + shift - 1 AS net_end FROM g1)
+      SELECT p2.conv_id, p2.turn_idx, p2.ip, g2.region, g2.asn
+      FROM p2 LEFT JOIN g2 ON p2.ipn BETWEEN g2.net_start AND g2.net_end"""
+
+    _ap_lo, _ap_hi = _cidr_range("10.0.128.0/18")
+    _ua_brow = " ".join(
+        f"WHEN role = '{r}' THEN '{fam}'" for r, fam in
+        [("user", "Chrome"), ("assistant", "Safari"),
+         ("system", "curl"), ("tool", "Firefox")])
+    _ua_ver = " ".join(
+        f"WHEN role = '{r}' THEN '{v}'" for r, v in
+        [("user", "120.0.0.0"), ("assistant", "17.0"),
+         ("system", "8.5.0"), ("tool", "121.0")])
+    _ua_os = " ".join(
+        f"WHEN role = '{r}' THEN '{osf}'" for r, osf in
+        [("user", "Windows"), ("assistant", "macOS"),
+         ("system", "Other"), ("tool", "Linux")])
+    _o3 = "string_split(ip, '.')"
+    o["vrl_ip_ua_funcs"] = f"""WITH {P}
+      SELECT conv_id, turn_idx, ip,
+             ({_o3})[1] || '.' || ({_o3})[2] || '.' || ({_o3})[3] || '.0' AS subnet24,
+             {_ip_aton_sql('ip')} BETWEEN {_ap_lo} AND {_ap_hi} AS in_ap_south,
+             CASE {_ua_brow} END AS browser_family,
+             CASE {_ua_ver} END AS browser_version,
+             CASE {_ua_os} END AS os_family
+      FROM parsed WHERE kind = 'apache_common'"""
+
+    from vector_spark.functions.vrl import SYSLOG_FACILITIES, SYSLOG_LEVELS
+
+    _facs = "[" + ", ".join(f"'{s}'" for s in SYSLOG_FACILITIES) + "]"
+    _lvls = "[" + ", ".join(f"'{s}'" for s in SYSLOG_LEVELS) + "]"
+    o["vrl_misc_funcs"] = f"""WITH {P}
+      SELECT conv_id, turn_idx,
+             CAST(pri // 8 AS INTEGER) AS facility_code,
+             ({_facs})[pri // 8 + 1] AS facility,
+             ({_lvls})[pri % 8 + 1] AS level_name,
+             lower(to_hex(procid)) AS procid_hex,
+             CAST(concat('0x', to_hex(procid)) AS BIGINT) AS procid_roundtrip,
+             hostname AS qs_user,
+             CAST(procid AS BIGINT) AS qs_attempt
+      FROM parsed WHERE kind = 'syslog5424'"""
+
+    # parse_xml: ground truth derived from the SOURCE columns — no xpath
+    # needed on the oracle side
+    o["parse_xml"] = f"""SELECT conv_id, turn_idx,
+             role AS xml_role, tool AS xml_tool,
+             CAST(turn_idx AS BIGINT) AS xml_idx,
+             'a,b' AS xml_tags
+      FROM read_parquet('{tp}') WHERE turn_idx % 6 = 4"""
+
+    o["gzip_roundtrip"] = f"""SELECT conv_id, turn_idx,
+             text AS text_roundtrip
+      FROM read_parquet('{tp}') WHERE turn_idx % 9 = 5"""
 
     # reduce merge strategies: arg_min/arg_max need a SCALAR key in
     # DuckDB, so the (size, order) tie-break becomes size*1e6 +/- order

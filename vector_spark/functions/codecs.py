@@ -1,0 +1,60 @@
+"""Compression codec VRL functions: encode/decode gzip + zlib.
+
+Reference: VRL ``encode_gzip`` / ``decode_gzip`` / ``encode_zlib`` /
+``decode_zlib`` (website/cue/reference/remap/functions/encode_gzip.cue
+et al.). Spark has no JVM builtin for per-value gzip, so these are the
+sanctioned Python escape hatch: Arrow-batched pandas UDFs (never
+row-at-a-time) over the Python stdlib codecs.
+
+Determinism: gzip output embeds an mtime + OS byte in its header — we
+pin mtime=0 via zlib and emit the fixed header ourselves, so the same
+input always yields the same bytes on any platform (required for the
+round-trip oracle check and for exact dedup over encoded columns).
+
+Scale note: compression is CPU-bound and embarrassingly parallel; the
+Arrow batch transfer is the only overhead vs a JVM codec. Keep these
+OUT of per-row hot predicates — encode once at the sink boundary.
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import zlib as _zlib
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType, StringType
+
+
+def _gzip_bytes(data: bytes) -> bytes:
+    # fixed header (mtime=0, OS=255/unknown) + raw deflate + crc/size
+    co = _zlib.compressobj(9, _zlib.DEFLATED, -_zlib.MAX_WBITS)
+    body = co.compress(data) + co.flush()
+    crc = _zlib.crc32(data) & 0xFFFFFFFF
+    return (b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x02\xff" + body
+            + crc.to_bytes(4, "little")
+            + (len(data) & 0xFFFFFFFF).to_bytes(4, "little"))
+
+
+@pandas_udf(BinaryType())
+def encode_gzip(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else _gzip_bytes(
+        v.encode() if isinstance(v, str) else bytes(v)))
+
+
+@pandas_udf(StringType())
+def decode_gzip(b: pd.Series) -> pd.Series:
+    return b.map(lambda v: None if v is None else
+                 _gzip.decompress(bytes(v)).decode())
+
+
+@pandas_udf(BinaryType())
+def encode_zlib(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else _zlib.compress(
+        v.encode() if isinstance(v, str) else bytes(v), 9))
+
+
+@pandas_udf(StringType())
+def decode_zlib(b: pd.Series) -> pd.Series:
+    return b.map(lambda v: None if v is None else
+                 _zlib.decompress(bytes(v)).decode())

@@ -255,3 +255,171 @@ def ip_ntoa(c) -> Column:
         (n / 256).cast("long") % 256,
         n % 256,
     )
+
+
+def _cidr_range(cidr: str) -> tuple[int, int]:
+    """Driver-side CIDR -> inclusive (net_start, net_end) IPv4 range."""
+    net, _, bits = cidr.partition("/")
+    prefix = int(bits) if bits else 32
+    if not 0 <= prefix <= 32:
+        raise ValueError(f"bad CIDR prefix in {cidr!r}")
+    o = [int(x) for x in net.split(".")]
+    if len(o) != 4 or any(not 0 <= x <= 255 for x in o):
+        raise ValueError(f"bad IPv4 network in {cidr!r}")
+    base = (o[0] << 24) | (o[1] << 16) | (o[2] << 8) | o[3]
+    mask = ((1 << prefix) - 1) << (32 - prefix) if prefix else 0
+    start = base & mask
+    return start, start | (~mask & 0xFFFFFFFF)
+
+
+def ip_cidr_contains(cidr: str, ip) -> Column:
+    """VRL ip_cidr_contains (ip_cidr_contains.cue), IPv4: the CIDR is a
+    compile-time constant (the VRL call site's literal), so the mask math
+    folds to a single between on the numeric ip — JVM-side, no UDF."""
+    start, end = _cidr_range(cidr)
+    n = ip_aton(ip)
+    return n.between(F.lit(start), F.lit(end))
+
+
+def ip_subnet(ip, prefix: int) -> Column:
+    """VRL ip_subnet (ip_subnet.cue), IPv4 mask form: the subnet of
+    ``ip`` under a /prefix mask, as dotted-quad."""
+    if not 0 <= prefix <= 32:
+        raise ValueError("prefix must be 0..32")
+    mask = ((1 << prefix) - 1) << (32 - prefix) if prefix else 0
+    return ip_ntoa(ip_aton(ip).bitwiseAND(F.lit(mask)))
+
+
+# -- parse_user_agent (parse_user_agent.cue, "fast" mode subset) --------
+
+_UA_BROWSERS = [
+    ("Firefox", r"Firefox/(\d+[\d.]*)"),
+    ("Edge", r"Edg(?:e|A|iOS)?/(\d+[\d.]*)"),
+    ("Chrome", r"Chrome/(\d+[\d.]*)"),
+    ("Safari", r"Version/(\d+[\d.]*).*Safari"),
+    ("curl", r"curl/(\d+[\d.]*)"),
+]
+_UA_OS = [
+    ("Windows", r"Windows NT [\d.]+"),
+    ("Android", r"Android [\d.]+"),
+    ("iOS", r"(?:iPhone|iPad).*OS [\d_]+"),
+    ("macOS", r"Mac OS X [\d_.]+"),
+    ("Linux", r"Linux"),
+]
+
+
+def parse_user_agent(c) -> dict[str, Column]:
+    """VRL parse_user_agent "fast" mode analogue: family + version by
+    first-match regex tables (deterministic, JVM-side; the reference's
+    full uap-core database is out of scope — documented delta). Returns
+    browser_family / browser_version / os_family columns."""
+    ua = _c(c)
+    fam = None
+    ver = None
+    for name, pat in _UA_BROWSERS:
+        hit = ua.rlike(pat)
+        v = F.nullif(F.regexp_extract(ua, pat, 1), F.lit(""))
+        fam = F.when(hit, name) if fam is None else fam.when(hit, name)
+        ver = F.when(hit, v) if ver is None else ver.when(hit, v)
+    osf = None
+    for name, pat in _UA_OS:
+        hit = ua.rlike(pat)
+        osf = F.when(hit, name) if osf is None else osf.when(hit, name)
+    return {
+        "browser_family": fam.otherwise(F.lit("Other")),
+        "browser_version": ver,
+        "os_family": osf.otherwise(F.lit("Other")),
+    }
+
+
+# -- syslog levels / facilities (to_syslog_level.cue, to_syslog_facility.cue)
+
+SYSLOG_LEVELS = ["emerg", "alert", "crit", "err",
+                 "warning", "notice", "info", "debug"]
+SYSLOG_FACILITIES = [
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "audit", "alert", "clock",
+    "local0", "local1", "local2", "local3", "local4", "local5", "local6",
+    "local7",
+]
+
+
+def to_syslog_level(severity) -> Column:
+    """VRL to_syslog_level: severity code 0-7 -> keyword."""
+    arr = F.array(*[F.lit(s) for s in SYSLOG_LEVELS])
+    return F.try_element_at(arr, _c(severity).cast("int") + 1)
+
+
+def to_syslog_facility(code) -> Column:
+    """VRL to_syslog_facility: facility code 0-23 -> keyword."""
+    arr = F.array(*[F.lit(s) for s in SYSLOG_FACILITIES])
+    return F.try_element_at(arr, _c(code).cast("int") + 1)
+
+
+def syslog_facility_from_pri(pri) -> Column:
+    """RFC5424: facility = pri >> 3."""
+    return (_c(pri).cast("int") / 8).cast("int")
+
+
+def syslog_severity_from_pri(pri) -> Column:
+    """RFC5424: severity = pri & 7."""
+    return _c(pri).cast("int") % 8
+
+
+# -- int parsing/formatting (parse_int.cue, format_int.cue) -------------
+
+def parse_int(c, base: int = 10) -> Column:
+    """VRL parse_int: string in ``base`` -> long (NULL on garbage)."""
+    if base == 10:
+        return F.try_to_number(F.trim(_c(c)), F.lit("9" * 18)).cast("long")
+    return F.conv(_c(c), base, 10).cast("long")
+
+
+def format_int(c, base: int = 10) -> Column:
+    """VRL format_int: integer -> string in ``base`` (lowercase digits,
+    matching DuckDB's to_hex et al.)."""
+    return F.lower(F.conv(_c(c).cast("string"), 10, base))
+
+
+# -- parse_query_string (parse_query_string.cue) ------------------------
+
+def parse_query_string(c) -> Column:
+    """``a=1&b=2`` (leading '?' tolerated) -> map<string,string>.
+    Unescaped base form; percent-decoding composes via decode_percent."""
+    return F.str_to_map(F.regexp_replace(_c(c), r"^\?", ""), F.lit("&"), F.lit("="))
+
+
+# -- hmac (hmac.cue): HMAC-SHA256 with a literal key, pure JVM ----------
+
+def hmac_sha256(key: str, msg) -> Column:
+    """RFC 2104 HMAC-SHA256 for a compile-time key (the VRL call site's
+    literal; keys > 64 bytes are pre-hashed driver-side). Inner/outer
+    pads are byte literals, the two hash rounds are Spark's native sha2
+    over binary — no UDF. Returns lowercase hex."""
+    kb = key.encode()
+    if len(kb) > 64:
+        import hashlib
+        kb = hashlib.sha256(kb).digest()
+    kb = kb.ljust(64, b"\x00")
+    ipad = bytes(b ^ 0x36 for b in kb)
+    opad = bytes(b ^ 0x5C for b in kb)
+    inner = F.sha2(F.concat(F.lit(ipad), _c(msg).cast("binary")), 256)
+    return F.sha2(F.concat(F.lit(opad), F.unhex(inner)), 256)
+
+
+# -- parse_xml (parse_xml.cue, targeted-extraction form) ----------------
+
+def parse_xml_value(c, xpath: str) -> Column:
+    """VRL parse_xml returns the whole document as an object; the Spark
+    idiom is targeted extraction with the native xpath functions (JVM
+    javax.xml, codegen'd). '' normalized to NULL like the other parsers."""
+    return F.nullif(F.xpath_string(_c(c), F.lit(xpath)), F.lit(""))
+
+
+def parse_xml_int(c, xpath: str) -> Column:
+    return F.xpath_long(_c(c), F.lit(xpath))
+
+
+def parse_xml_list(c, xpath: str) -> Column:
+    """All matches of ``xpath`` as array<string> (xpath.cue plural form)."""
+    return F.xpath(_c(c), F.lit(xpath))

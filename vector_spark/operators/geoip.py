@@ -1,0 +1,81 @@
+"""CIDR-range enrichment — the geoip/mmdb table analogue.
+
+Reference: the geoip enrichment table looks up an IP in an mmdb
+(src/enrichment_tables/geoip.rs:531). The mmdb format itself is binary
+plumbing; the *semantics* are "most-specific matching network range ->
+attribute record". We model the table as rows of (cidr, attrs...) and
+the lookup as a broadcast join.
+
+Scale shape, two driver-side tricks on the tiny table so the 100-TB fact
+side stays a single BroadcastHashJoin with no post-join dedup:
+
+1. Overlapping CIDRs are flattened into DISJOINT intervals, each carrying
+   the attrs of its most-specific (longest-prefix, ties -> first row)
+   covering network — exactly mmdb longest-prefix-match semantics, but
+   resolved once at build time instead of per fact row. Every fact row
+   then matches at most one interval, so a plain left join preserves
+   get_enrichment_table_record's single-record contract.
+2. Intervals are expanded to the /8 buckets they intersect and the fact
+   side joins on its single /8 bucket (equi-key) with the range check as
+   an extra join predicate — a BroadcastHashJoin, never the
+   BroadcastNestedLoopJoin a bare BETWEEN join would produce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_spark.functions.vrl import _cidr_range, ip_aton
+
+
+def _disjoint_intervals(rows, attr_cols: list[str]):
+    """Flatten (possibly overlapping) CIDR rows into disjoint inclusive
+    (start, end, attrs...) intervals, most-specific network winning."""
+    ranges = []
+    for order, r in enumerate(rows):
+        start, end = _cidr_range(r["cidr"])
+        prefix = int(r["cidr"].partition("/")[2] or 32)
+        ranges.append((start, end, prefix, order, tuple(r[c] for c in attr_cols)))
+    points = sorted({s for s, *_ in ranges} | {e + 1 for _, e, *_ in ranges})
+    out = []
+    for lo, hi in zip(points, points[1:]):
+        covering = [r for r in ranges if r[0] <= lo and hi - 1 <= r[1]]
+        if covering:
+            best = max(covering, key=lambda r: (r[2], -r[3]))
+            out.append((lo, hi - 1) + best[4])
+    return out
+
+
+def enrich_cidr(
+    df: DataFrame, table: DataFrame, ip_col: str,
+    select: list[str] | None = None, how: str = "left",
+) -> DataFrame:
+    """Broadcast CIDR-range lookup of ``df[ip_col]`` against ``table``
+    (columns: cidr + attributes). Longest-prefix match wins; rows whose
+    IP no network covers keep NULL attrs (left join)."""
+    spark: SparkSession = df.sparkSession
+    rows = table.collect()  # enrichment table: small by contract
+    attr_cols = [c for c in table.columns if c != "cidr"]
+    if select is not None:
+        attr_cols = [c for c in attr_cols if c in select]
+    expanded = []
+    for iv in _disjoint_intervals(rows, attr_cols):
+        start, end = iv[0], iv[1]
+        for b in range(start >> 24, (end >> 24) + 1):
+            expanded.append((b, start, end) + iv[2:])
+    dtypes = dict(table.dtypes)
+    schema = ("__bucket INT, __net_start LONG, __net_end LONG"
+              + "".join(f", {c} {dtypes[c]}" for c in attr_cols))
+    lut = spark.createDataFrame(expanded, schema)
+
+    fact = df.withColumn("__ip_num", ip_aton(F.col(ip_col)))
+    fact = fact.withColumn("__bucket", (F.col("__ip_num") / 16777216).cast("int"))
+    joined = fact.join(
+        F.broadcast(lut),
+        on=[fact["__bucket"] == lut["__bucket"],
+            fact["__ip_num"] >= lut["__net_start"],
+            fact["__ip_num"] <= lut["__net_end"]],
+        how=how,
+    )
+    return joined.select(*df.columns, *attr_cols)

@@ -71,3 +71,24 @@ def ensure_role_meta(enrich_dir: str = ENRICH_DIR) -> str:
         "valid_to": pa.array(pd.to_datetime(ROLE_META["valid_to"]), pa.timestamp("us")),
     })
     return _write(os.path.join(enrich_dir, "role_meta.parquet"), t)
+
+
+# CIDR -> geo attributes (the geoip/mmdb enrichment analogue,
+# reference src/enrichment_tables/geoip.rs:531 semantics over an
+# mmdb-less CIDR-range table). Carves the fixture's 10.0.0.0/16 space
+# into regions; 10.0.224.0/19 is deliberately uncovered (left-join miss).
+GEO_META = {
+    "cidr": ["10.0.0.0/18", "10.0.64.0/18", "10.0.128.0/18", "10.0.192.0/19"],
+    "region": ["us-east", "eu-west", "ap-south", "us-west"],
+    "asn": [64500, 64501, 64502, 64503],
+}
+
+
+def ensure_geo_meta(enrich_dir: str = ENRICH_DIR) -> str:
+    os.makedirs(enrich_dir, exist_ok=True)
+    t = pa.table({
+        "cidr": pa.array(GEO_META["cidr"], pa.string()),
+        "region": pa.array(GEO_META["region"], pa.string()),
+        "asn": pa.array(GEO_META["asn"], pa.int64()),
+    })
+    return _write(os.path.join(enrich_dir, "geo_meta.parquet"), t)
