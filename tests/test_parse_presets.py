@@ -79,3 +79,44 @@ def test_cef_header_unescape_and_extension(spark):
     assert r["ext_src"] == "10.0.0.1" and r["ext_act"] == "blocked"
     assert r["cef_ext"]["dst"] == "1.1.1.1"
     assert got["nope"]["device_vendor"] is None and got["nope"]["cef_ext"] is None
+
+
+SYSLOG3164_LINE = "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed"
+GELF_LINE = ('{"version":"1.1","host":"web01","short_message":"A short msg",'
+             '"timestamp":1385053862.0,"level":1,"_user_id":9001,"_env":"prod"}')
+
+
+def test_syslog3164_fields(spark):
+    from vector_spark.functions.parse_presets import parse_syslog3164
+
+    df = spark.createDataFrame([(SYSLOG3164_LINE,), ("junk",)], ["text"])
+    got = {r["text"]: r for r in parse_syslog3164(df).collect()}
+    r = got[SYSLOG3164_LINE]
+    assert r["pri"] == 34 and (r["month"], r["day"]) == ("Oct", "11")
+    assert (r["hostname"], r["tag"], r["procid"]) == ("mymachine", "su", 230)
+    assert r["message"] == "'su root' failed"
+    assert got["junk"]["pri"] is None
+
+
+def test_gelf_parse_and_encode_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions.parse_presets import encode_gelf, parse_gelf
+
+    df = spark.createDataFrame([(GELF_LINE,)], ["text"])
+    r = parse_gelf(df, extra_keys=["_user_id"]).first()
+    assert r["gelf_version"] == "1.1" and r["gelf_host"] == "web01"
+    assert r["gelf_short_message"] == "A short msg"
+    assert r["gelf_timestamp"] == 1385053862.0 and r["gelf_level"] == 1
+    assert r["ext_user_id"] == "9001"
+    assert r["gelf_extra"] == {"_user_id": "9001", "_env": "prod"}
+
+    import datetime
+    src = spark.createDataFrame(
+        [("h1", "boom", datetime.datetime(2024, 1, 1), 3, "x")],
+        "host string, msg string, ts timestamp, lvl int, extra string")
+    enc = src.select(encode_gelf(F.col("host"), F.col("msg"), F.col("ts"),
+                                 F.col("lvl"), {"env": F.col("extra")}).alias("line"))
+    back = parse_gelf(enc, text_col="line", extra_keys=["_env"]).first()
+    assert back["gelf_host"] == "h1" and back["gelf_short_message"] == "boom"
+    assert back["gelf_level"] == 3 and back["ext_env"] == "x"

@@ -626,6 +626,42 @@ def q_gzip_roundtrip(spark, sf_dir):
         decode_gzip(F.col("gz")).alias("text_roundtrip"))
 
 
+def q_parse_syslog3164(spark, sf_dir):
+    """BSD syslog RFC3164 preset: lines synthesized from transcript
+    columns, parsed back with the compiled grok regex."""
+    from vector_spark.functions.parse_presets import parse_syslog3164
+
+    t = _transcripts(spark, sf_dir).where(F.col("turn_idx") % 8 == 6)
+    line = F.concat(
+        F.lit("<"), (F.lit(1) + F.col("turn_idx") % 190).cast("string"),
+        F.lit(">"), F.date_format("ts", "MMM"), F.lit(" "),
+        F.date_format("ts", "dd"), F.lit(" "),
+        F.date_format("ts", "HH:mm:ss"), F.lit(" host-"), F.col("role"),
+        F.lit(" agentd["), (F.lit(100) + F.col("turn_idx")).cast("string"),
+        F.lit("]: turn logged for "), F.col("conv_id"))
+    out = parse_syslog3164(t.select("conv_id", "turn_idx", line.alias("raw")),
+                           text_col="raw")
+    return out.select("conv_id", "turn_idx", "pri", "month", "day", "time",
+                      "hostname", "tag", "procid", "message")
+
+
+def q_parse_gelf_roundtrip(spark, sf_dir):
+    """GELF codec round-trip: encode_gelf -> parse_gelf; the oracle
+    derives every field straight from the source columns."""
+    from vector_spark.functions.parse_presets import encode_gelf, parse_gelf
+
+    t = _transcripts(spark, sf_dir).where(F.col("turn_idx") % 11 == 7)
+    line = encode_gelf(
+        host=F.col("conv_id"), short_message=F.col("text"), ts=F.col("ts"),
+        level=F.col("turn_idx") % 8,
+        extras={"tool": F.coalesce(F.col("tool"), F.lit("none"))})
+    g = parse_gelf(t.select("conv_id", "turn_idx", line.alias("raw")),
+                   text_col="raw", extra_keys=["_tool"])
+    return g.select("conv_id", "turn_idx", "gelf_version", "gelf_host",
+                    "gelf_short_message", "gelf_timestamp",
+                    "gelf_level", F.col("ext_tool"))
+
+
 def q_reduce_merge_strategies(spark, sf_dir):
     """concat_raw / shortest_array / longest_array merge strategies
     (reference merge_strategy.rs:17-55) over per-conversation token
@@ -919,6 +955,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vrl_misc_funcs": q_vrl_misc_funcs,
     "parse_xml": q_parse_xml,
     "gzip_roundtrip": q_gzip_roundtrip,
+    "parse_syslog3164": q_parse_syslog3164,
+    "parse_gelf_roundtrip": q_parse_gelf_roundtrip,
     "reduce_merge_strategies": q_reduce_merge_strategies,
     "log_to_metric_gauge": q_log_to_metric_gauge,
     "log_to_metric_set": q_log_to_metric_set,
@@ -1429,6 +1467,30 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
     o["gzip_roundtrip"] = f"""SELECT conv_id, turn_idx,
              text AS text_roundtrip
       FROM read_parquet('{tp}') WHERE turn_idx % 9 = 5"""
+
+    from vector_spark.functions.parse_presets import compiled_syslog3164
+
+    _s64 = compiled_syslog3164()
+    o["parse_syslog3164"] = f"""WITH lines AS (
+        SELECT conv_id, turn_idx,
+               '<' || CAST(1 + turn_idx % 190 AS VARCHAR) || '>'
+               || strftime(ts, '%b %d %H:%M:%S') || ' host-' || role
+               || ' agentd[' || CAST(100 + turn_idx AS VARCHAR)
+               || ']: turn logged for ' || conv_id AS raw
+        FROM read_parquet('{tp}') WHERE turn_idx % 8 = 6),
+      ext AS (SELECT conv_id, turn_idx, {_grok_struct(_s64, 'raw')} AS g FROM lines)
+      SELECT conv_id, turn_idx,
+             {_fields_sql(_s64)}
+      FROM ext"""
+
+    o["parse_gelf_roundtrip"] = f"""SELECT conv_id, turn_idx,
+             '1.1' AS gelf_version,
+             conv_id AS gelf_host,
+             text AS gelf_short_message,
+             CAST(epoch(ts) AS DOUBLE) AS gelf_timestamp,
+             CAST(turn_idx % 8 AS INTEGER) AS gelf_level,
+             coalesce(tool, 'none') AS ext_tool
+      FROM read_parquet('{tp}') WHERE turn_idx % 11 = 7"""
 
     # reduce merge strategies: arg_min/arg_max need a SCALAR key in
     # DuckDB, so the (size, order) tie-break becomes size*1e6 +/- order

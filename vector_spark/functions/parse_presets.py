@@ -145,3 +145,60 @@ def parse_cef(df: DataFrame, text_col: str = "text",
     for k in extension_keys or []:
         out = out.withColumn(f"ext_{k}", F.col("cef_ext")[k])
     return out
+
+
+# --- BSD syslog RFC3164 --------------------------------------------------
+# <34>Jan 05 10:00:00 host app[123]: message
+SYSLOG3164 = (
+    r"<%{POSINT:pri:int}>%{MONTH:month} %{MONTHDAY:day} %{TIME:time} "
+    r"%{NOTSPACE:hostname} %{NOTSPACE:tag}\[%{POSINT:procid:int}\]: "
+    "%{GREEDYDATA:message}"
+)
+
+
+def compiled_syslog3164() -> CompiledGrok:
+    return compile_grok(SYSLOG3164)
+
+
+def parse_syslog3164(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BSD syslog (parse_syslog.cue handles both RFC3164 and RFC5424; the
+    5424 half lives in functions/parse.py). NULL fields on non-match."""
+    return parse_grok(df, SYSLOG3164, text_col)
+
+
+# --- GELF (parse_gelf / the gelf codec, lib/codecs decoding/format/gelf) -
+GELF_SCHEMA = ("version string, host string, short_message string, "
+               "full_message string, timestamp double, level int")
+
+
+def parse_gelf(df: DataFrame, text_col: str = "text",
+               extra_keys: list[str] | None = None) -> DataFrame:
+    """GELF decode: the well-known fields via from_json with an explicit
+    schema; additional ``_``-prefixed custom fields surface as a
+    map<string,string> (``gelf_extra``) or as typed ``ext_*`` columns for
+    requested keys. Pure JVM (two from_json passes over the same line)."""
+    t = F.col(text_col)
+    out = df.withColumn("__gelf", F.from_json(t, GELF_SCHEMA))
+    for f_ in ("version", "host", "short_message", "full_message",
+               "timestamp", "level"):
+        out = out.withColumn(f"gelf_{f_}", F.col(f"__gelf.{f_}"))
+    extras = F.map_filter(F.from_json(t, "map<string,string>"),
+                          lambda k, _: k.startswith("_"))
+    out = out.withColumn("gelf_extra", extras)
+    for k in extra_keys or []:
+        out = out.withColumn(f"ext{k}", F.col("gelf_extra")[k])
+    return out.drop("__gelf")
+
+
+def encode_gelf(host: F.Column, short_message: F.Column, ts: F.Column,
+                level: F.Column, extras: dict[str, F.Column] | None = None) -> F.Column:
+    """GELF encode: the inverse projection — a JSON line with the
+    required fields plus ``_``-prefixed extras (to_json of a struct)."""
+    fields = [
+        F.lit("1.1").alias("version"),
+        host.alias("host"),
+        short_message.alias("short_message"),
+        F.unix_timestamp(ts).cast("double").alias("timestamp"),
+        level.cast("int").alias("level"),
+    ] + [c.alias(f"_{k}") for k, c in (extras or {}).items()]
+    return F.to_json(F.struct(*fields))
