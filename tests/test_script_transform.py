@@ -1,0 +1,50 @@
+"""Script transform (the lua escape hatch as mapInPandas) + gated kafka
+source wiring."""
+
+import pandas as pd
+import pytest
+
+from vector_spark.operators.script import script_transform
+
+
+def test_script_transform_process_and_emit(spark):
+    """Per-event logic with 0..N output rows per input (lua process hook
+    semantics): drop system rows, duplicate tool rows with a marker."""
+    df = spark.createDataFrame(
+        [("a", "user"), ("b", "system"), ("c", "tool")], "id string, role string")
+
+    def process(pdf: pd.DataFrame, state) -> pd.DataFrame:
+        keep = pdf[pdf["role"] != "system"].copy()
+        keep["note"] = "seen"
+        dup = keep[keep["role"] == "tool"].copy()
+        dup["note"] = "tool-dup"
+        return pd.concat([keep, dup])
+
+    out = script_transform(df, process, "id string, role string, note string")
+    got = sorted((r["id"], r["note"]) for r in out.collect())
+    assert got == [("a", "seen"), ("c", "seen"), ("c", "tool-dup")]
+
+
+def test_script_transform_init_shutdown_state(spark):
+    """init() state is threaded into every batch (executor-local setup,
+    like the lua init hook)."""
+    df = spark.createDataFrame([(i,) for i in range(10)], "n long")
+
+    def init():
+        return {"offset": 100}
+
+    def process(pdf, state):
+        out = pdf.copy()
+        out["shifted"] = out["n"] + state["offset"]
+        return out
+
+    out = script_transform(df, process, "n long, shifted long", init=init)
+    rows = {r["n"]: r["shifted"] for r in out.collect()}
+    assert rows == {i: i + 100 for i in range(10)}
+
+
+def test_kafka_source_raises_actionable_error(spark):
+    from vector_spark.sources.kafka import kafka_stream
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_stream(spark, "localhost:9092", "topic")

@@ -1,0 +1,57 @@
+"""Script transform — the Lua escape hatch, Spark-style.
+
+Reference: the ``lua`` transform (src/transforms/lua/mod.rs:64) runs an
+arbitrary user script per event when no built-in transform fits. The
+Spark-idiomatic equivalent is NOT an embedded interpreter: it is
+``mapInPandas`` — the user supplies a Python function over Arrow record
+batches, declared with an explicit output schema, and Spark distributes
+it like any other stage.
+
+Semantics parity with the reference's lua hooks:
+- ``process``  (per-event)  -> the batch function sees every row;
+- emit 0..N events per input -> the function returns any number of rows;
+- ``init``/``shutdown`` hooks -> per-partition setup/teardown wrappers
+  run once per Arrow batch iterator (executor-local state, e.g. opening
+  a model or compiled automaton once).
+
+Scale: Arrow-batched (never per-row Python); the function runs fully
+parallel per partition. Keep scripts off the hot parse path — this is
+the ESCAPE hatch, and 10-100x slower than the native-column operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def script_transform(
+    df: DataFrame,
+    process: Callable[[pd.DataFrame, Any], pd.DataFrame],
+    schema: str,
+    init: Callable[[], Any] | None = None,
+    shutdown: Callable[[Any], None] | None = None,
+) -> DataFrame:
+    """Run ``process(batch_pdf, state) -> pdf`` over Arrow batches.
+
+    ``init()`` runs once per partition before the first batch (its return
+    value is threaded into every ``process`` call as ``state``);
+    ``shutdown(state)`` runs after the last batch — mirroring the lua
+    transform's init/shutdown hooks.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state = init() if init else None
+        try:
+            for pdf in batches:
+                out = process(pdf, state)
+                if out is not None and len(out):
+                    yield out
+        finally:
+            if shutdown:
+                shutdown(state)
+
+    return df.mapInPandas(run, schema=schema)

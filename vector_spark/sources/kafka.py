@@ -1,0 +1,65 @@
+"""Kafka source/sink wiring (reference: src/sources/kafka/mod.rs,
+src/sinks/kafka/) — gated behind connector availability.
+
+The sandbox bundles no ``spark-sql-kafka`` connector jar and no broker,
+so these builders raise a clear, actionable error here; on a real
+cluster, launch with
+``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-ver>``
+and they work unchanged. The decode step reuses the same parse stage as
+the file path (parse_all / parse_grok) — a Kafka topic is just another
+stream of ``text`` lines with metadata columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _kafka_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider")
+        return True
+    except Exception:
+        return False
+
+
+def kafka_stream(spark: SparkSession, brokers: str, topic: str,
+                 starting_offsets: str = "latest") -> DataFrame:
+    """readStream over a Kafka topic -> (text, kafka_key, kafka_ts,
+    partition, offset) — the reference kafka source's message + metadata
+    shape, ready for the shared parse stage."""
+    if not _kafka_available(spark):
+        raise RuntimeError(
+            "Kafka connector not on the classpath. Launch with "
+            "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver> "
+            "(no broker/jar in this sandbox — see COVERAGE.md).")
+    raw = (spark.readStream.format("kafka")
+           .option("kafka.bootstrap.servers", brokers)
+           .option("subscribe", topic)
+           .option("startingOffsets", starting_offsets)
+           .load())
+    return raw.select(
+        F.col("value").cast("string").alias("text"),
+        F.col("key").cast("string").alias("kafka_key"),
+        F.col("timestamp").alias("kafka_ts"),
+        F.col("partition"), F.col("offset"))
+
+
+def kafka_sink(df: DataFrame, brokers: str, topic: str,
+               checkpoint_dir: str, key_col: str | None = None):
+    """writeStream to a Kafka topic (value = encoded text column)."""
+    if not _kafka_available(df.sparkSession):
+        raise RuntimeError(
+            "Kafka connector not on the classpath. Launch with "
+            "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver> "
+            "(no broker/jar in this sandbox — see COVERAGE.md).")
+    cols = [F.col("text").alias("value")]
+    if key_col:
+        cols.append(F.col(key_col).alias("key"))
+    return (df.select(*cols).writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("topic", topic)
+            .option("checkpointLocation", checkpoint_dir)
+            .start())
