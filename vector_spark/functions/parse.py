@@ -179,17 +179,33 @@ def parse_all(df: DataFrame, text_col: str = "text") -> DataFrame:
     non-cheap alias referenced many times.
     """
     t = F.col(text_col)
-    kind = classify(t)
-    # stage 1a: ONE guarded regex pass per format -> raw split arrays
-    # (null for other kinds). The raw array is staged in its OWN
-    # projection so the size-guard in stage 1b references a column, not a
-    # re-inlined copy of the regex (CollapseProject keeps the split
-    # because it's a non-cheap alias referenced twice).
-    raw = {
-        "__ap_raw": F.when(kind == "apache_common", _raw_arr(t, APACHE_RE, 9)),
-        "__sl_raw": F.when(kind == "syslog5424", _raw_arr(t, SYSLOG_RE, 8)),
-        "__lf_raw": F.when(kind == "logfmt", _raw_arr(t, LOGFMT_RE, 4)),
-    }
+    # stage 1a: classification and extraction share ONE regex pass per
+    # format per row. The raw split array both detects the match (size ==
+    # n_groups+1) and carries the groups, so there is no separate rlike
+    # classify pass: an apache line costs exactly one apache-regex
+    # application (round 1 paid rlike + replace = two). Later formats are
+    # guarded on earlier failures, so Spark's lazy CASE evaluation skips
+    # their regexes entirely once a format matched. Classification order
+    # (apache -> syslog -> json-prefix -> logfmt) is identical to
+    # classify() and to the DuckDB oracle's parsed_cte.
+    # Raw arrays are staged in their OWN projections so downstream
+    # size-guards reference a column, not a re-inlined copy of the regex
+    # (CollapseProject keeps non-cheap aliases referenced many times).
+    ap_ok = F.size(F.col("__ap_raw")) == 10
+    sl_ok = F.size(F.col("__sl_raw")) == 9
+    lf_ok = F.size(F.col("__lf_raw")) == 5
+    js_ok = t.startswith("{")
+    out = (df
+           .withColumn("__ap_raw", _raw_arr(t, APACHE_RE, 9))
+           .withColumn("__sl_raw", F.when(~ap_ok, _raw_arr(t, SYSLOG_RE, 8)))
+           .withColumn("__lf_raw",
+                       F.when(~ap_ok & ~F.coalesce(sl_ok, F.lit(False)) & ~js_ok,
+                              _raw_arr(t, LOGFMT_RE, 4))))
+    kind = (F.when(ap_ok, "apache_common")
+            .when(F.coalesce(sl_ok, F.lit(False)), "syslog5424")
+            .when(js_ok, "json")
+            .when(F.coalesce(lf_ok, F.lit(False)), "logfmt")
+            .otherwise("freeform"))
     # stage 1b: guarded group arrays (NULL array on failed parse) + json
     stage1 = {
         "kind": kind,
@@ -198,7 +214,7 @@ def parse_all(df: DataFrame, text_col: str = "text") -> DataFrame:
         "__lf": _checked_arr(F.col("__lf_raw"), 4),
         "__js": F.when(kind == "json", F.from_json(t, JSON_SCHEMA)),
     }
-    out = df.withColumns(raw).withColumns(stage1)
+    out = out.withColumns(stage1)
 
     ap, sl, lf, js = F.col("__ap"), F.col("__sl"), F.col("__lf"), F.col("__js")
     cols: dict[str, Column] = {
