@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) — the reference's proptest-style
+strategy (SURVEY.md §5) applied to our driver-side compilers and one
+stateful operator invariant.
+
+Driver-side properties run pure-Python per example (fast, hundreds of
+cases); the Spark-backed throttle property caps examples so the suite
+stays quick.
+"""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vector_spark.functions.grok import compile_grok
+from vector_spark.functions.vrl import _cidr_range
+
+# ---------------------------------------------------------------------------
+# CIDR range math: membership via (start, end) == membership via bit mask
+# ---------------------------------------------------------------------------
+
+
+@given(ip=st.integers(0, 2**32 - 1), base=st.integers(0, 2**32 - 1),
+       prefix=st.integers(0, 32))
+def test_cidr_membership_equivalence(ip, base, prefix):
+    cidr = f"{base >> 24 & 255}.{base >> 16 & 255}.{base >> 8 & 255}.{base & 255}/{prefix}"
+    start, end = _cidr_range(cidr)
+    mask = ((1 << prefix) - 1) << (32 - prefix) if prefix else 0
+    assert (start <= ip <= end) == ((ip & mask) == (base & mask))
+    # range is exactly the mask's block
+    assert end - start == (1 << (32 - prefix)) - 1
+    assert start & mask == start
+
+
+# ---------------------------------------------------------------------------
+# Grok compiler: constructed lines round-trip through the compiled regex
+# ---------------------------------------------------------------------------
+
+_WORD = st.from_regex(r"[A-Za-z0-9_]+", fullmatch=True)
+_TAIL = st.from_regex(r"[ -~]*", fullmatch=True)  # printable ascii
+
+
+@given(a=_WORD, b=st.integers(-10**12, 10**12), c=_TAIL)
+@settings(max_examples=200)
+def test_grok_compiled_regex_roundtrip(a, b, c):
+    compiled = compile_grok("%{WORD:a} %{INT:b:int} %{GREEDYDATA:c}")
+    line = f"{a} {b} {c}"
+    m = re.match(compiled.regex, line)
+    assert m, line
+    assert m.group(1) == a and int(m.group(2)) == b and m.group(3) == c
+    assert compiled.fields == ("a", "b", "c")
+    assert compiled.casts == (None, "long", None)
+
+
+@given(junk=st.text(max_size=40))
+@settings(max_examples=100)
+def test_grok_anchored_rejects_partial(junk):
+    """An anchored pattern must never match a line with trailing junk
+    after a non-greedy tail-less pattern."""
+    compiled = compile_grok("%{INT:n:int}")
+    line = f"42x{junk}"
+    assert not re.match(compiled.regex, line)
+
+
+# ---------------------------------------------------------------------------
+# Throttle invariant: per (key, window) at most `threshold` kept, and the
+# kept rows are exactly the first `threshold` in event order
+# ---------------------------------------------------------------------------
+
+
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),       # key
+              st.integers(0, 7200),                   # seconds offset
+              st.integers(0, 10**6)),                 # tiebreak seq
+    min_size=1, max_size=60, unique_by=lambda r: (r[0], r[1], r[2])))
+@settings(max_examples=12, deadline=None)
+def test_throttle_invariant(spark, rows):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from vector_spark.operators.throttle import throttle
+
+    t0 = datetime.datetime(2024, 1, 1)
+    data = [(k, s, q, t0 + datetime.timedelta(seconds=s)) for k, s, q in rows]
+    df = spark.createDataFrame(data, "key string, secs long, seq long, ts timestamp")
+    thr = 3
+    kept = throttle(df, key="key", ts_col="ts", window_secs=3600,
+                    threshold=thr, order_by=["secs", "seq"]).collect()
+    # recompute expectation in plain python
+    from collections import defaultdict
+    by_kw = defaultdict(list)
+    for k, s, q, _ in data:
+        by_kw[(k, s // 3600)].append((s, q))
+    expect = set()
+    for (k, w), evs in by_kw.items():
+        for s, q in sorted(evs)[:thr]:
+            expect.add((k, s, q))
+    got = {(r["key"], r["secs"], r["seq"]) for r in kept}
+    assert got == expect

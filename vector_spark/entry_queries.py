@@ -662,6 +662,25 @@ def q_parse_gelf_roundtrip(spark, sf_dir):
                     "gelf_level", F.col("ext_tool"))
 
 
+def q_syslog_encode_roundtrip(spark, sf_dir):
+    """syslog5424 encode -> parse round-trip: re-encode the parsed syslog
+    fields, parse the encoded line again, and return the fields — the
+    oracle is the parsed CTE directly, so encode must be lossless."""
+    from vector_spark.functions.parse import parse_syslog
+    from vector_spark.sinks.encode import encode_syslog5424
+
+    p = _parsed(spark, sf_dir).where(F.col("kind") == "syslog5424")
+    enc = p.select("conv_id", "turn_idx",
+                   encode_syslog5424(p).alias("line"))
+    back = parse_syslog(F.col("line"))
+    return enc.select(
+        "conv_id", "turn_idx",
+        back["pri"].alias("pri"), back["version"].alias("version"),
+        back["hostname"].alias("hostname"), back["appname"].alias("appname"),
+        back["procid"].alias("procid"), back["msgid"].alias("msgid"),
+        back["message"].alias("message"))
+
+
 def q_reduce_merge_strategies(spark, sf_dir):
     """concat_raw / shortest_array / longest_array merge strategies
     (reference merge_strategy.rs:17-55) over per-conversation token
@@ -956,6 +975,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_xml": q_parse_xml,
     "gzip_roundtrip": q_gzip_roundtrip,
     "parse_syslog3164": q_parse_syslog3164,
+    "syslog_encode_roundtrip": q_syslog_encode_roundtrip,
     "parse_gelf_roundtrip": q_parse_gelf_roundtrip,
     "reduce_merge_strategies": q_reduce_merge_strategies,
     "log_to_metric_gauge": q_log_to_metric_gauge,
@@ -1482,6 +1502,11 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
       SELECT conv_id, turn_idx,
              {_fields_sql(_s64)}
       FROM ext"""
+
+    o["syslog_encode_roundtrip"] = f"""WITH {P}
+      SELECT conv_id, turn_idx, pri, version, hostname, appname,
+             procid, msgid, message
+      FROM parsed WHERE kind = 'syslog5424'"""
 
     o["parse_gelf_roundtrip"] = f"""SELECT conv_id, turn_idx,
              '1.1' AS gelf_version,

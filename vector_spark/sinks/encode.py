@@ -47,3 +47,21 @@ def encode_logfmt(df: DataFrame, cols: list[str] | None = None) -> Column:
         rendered = F.when(needs_quote, quoted).otherwise(v)
         parts.append(F.when(v.isNotNull(), F.concat(F.lit(c + "="), rendered)))
     return F.concat_ws(" ", *parts)
+
+
+def encode_syslog5424(
+    df: DataFrame, pri: str = "pri", version: str = "version",
+    ts: str = "syslog_ts", hostname: str = "hostname", appname: str = "appname",
+    procid: str = "procid", msgid: str = "msgid", message: str = "message",
+) -> Column:
+    """RFC5424 syslog codec (encoding/format/syslog): the inverse of
+    functions/parse.py::parse_syslog — nil structured-data form, NULL
+    header fields rendered as the RFC nil value '-'."""
+    def nil(c: str) -> Column:
+        return F.coalesce(F.col(c).cast("string"), F.lit("-"))
+
+    return F.concat(
+        F.lit("<"), nil(pri), F.lit(">"), nil(version), F.lit(" "),
+        nil(ts), F.lit(" "), nil(hostname), F.lit(" "), nil(appname),
+        F.lit(" "), nil(procid), F.lit(" "), nil(msgid), F.lit(" - "),
+        F.coalesce(F.col(message).cast("string"), F.lit("")))
