@@ -1,0 +1,69 @@
+"""Bucketed-table plan tests: conversation-grouped operators must run
+WITHOUT an exchange when reading the conv_id-bucketed table — the
+pre-paid ingest shuffle is the whole point at 100 TB."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vector_spark.plans.bucketed import (
+    conversation_stats_bucketed,
+    read_bucketed,
+    write_bucketed_transcripts,
+)
+from vector_spark.sources.transcripts import ensure_transcripts
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def bucketed_table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("bucketed") / "transcripts")
+    df = spark.read.parquet(ensure_transcripts("sf0.001"))
+    write_bucketed_transcripts(spark, df, "transcripts_bucketed", path,
+                               n_buckets=8)
+    yield "transcripts_bucketed"
+    spark.sql("DROP TABLE IF EXISTS transcripts_bucketed")
+
+
+def test_grouped_agg_has_no_exchange(spark, bucketed_table):
+    df = conversation_stats_bucketed(spark, bucketed_table)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "HashAggregate" in plan
+    # same result as the shuffled path over plain parquet
+    plain = (spark.read.parquet(ensure_transcripts("sf0.001"))
+             .groupBy("conv_id").agg(F.count("*").alias("n_turns")))
+    a = {r["conv_id"]: r["n_turns"] for r in df.collect()}
+    b = {r["conv_id"]: r["n_turns"] for r in plain.collect()}
+    assert a == b
+
+
+def test_window_over_conv_has_no_exchange(spark, bucketed_table):
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    df = (read_bucketed(spark, bucketed_table)
+          .withColumn("prev_role", F.lag("role").over(w)))
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_session_reduce_on_bucketed_has_no_exchange(spark, bucketed_table):
+    """The batch ends_when sessionization (marker cumsum windows) rides
+    the bucket distribution: zero shuffles end-to-end."""
+    from vector_spark.operators.reduce import with_condition_sessions
+
+    df = with_condition_sessions(
+        read_bucketed(spark, bucketed_table), ["conv_id"], "turn_idx",
+        ends_when=F.col("text").contains("bye"))
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_plain_parquet_pays_the_shuffle(spark):
+    """Control: the same agg over unbucketed parquet DOES exchange —
+    proving the bucketed plan's absence of Exchange is the bucketing."""
+    df = (spark.read.parquet(ensure_transcripts("sf0.001"))
+          .groupBy("conv_id").agg(F.count("*").alias("n")))
+    assert "Exchange" in _plan(df)

@@ -118,3 +118,23 @@ def test_gzip_zlib_codecs(spark):
     import gzip
     payload = next(r for r in out if r["t"] and len(r["t"]) > 10)
     assert gzip.decompress(bytes(payload["gz_bytes"])).decode() == payload["t"]
+
+
+def test_parse_regex_family_and_map_accessors(spark):
+    from vector_spark.functions import vrl
+
+    df = spark.createDataFrame([("err code=17 code=42 end",)], "t string")
+    r = df.select(
+        vrl.match_(F.col("t"), r"code=\d+").alias("m"),
+        vrl.parse_regex(F.col("t"), r"code=(\d+)").alias("first"),
+        vrl.parse_regex_all(F.col("t"), r"code=(\d+)", 1).alias("all"),
+        vrl.parse_regex(F.col("t"), r"nope=(\d+)").alias("missing")).first()
+    assert r["m"] is True and r["first"] == "17"
+    assert r["all"] == ["17", "42"] and r["missing"] is None
+
+    m = df.select(F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2)).alias("mp"))
+    r = m.select(vrl.keys(F.col("mp")).alias("k"), vrl.values(F.col("mp")).alias("v"),
+                 vrl.get(F.col("mp"), "a").alias("g"),
+                 vrl.get(F.col("mp"), "zz").alias("g2")).first()
+    assert sorted(r["k"]) == ["a", "b"] and sorted(r["v"]) == [1, 2]
+    assert r["g"] == 1 and r["g2"] is None

@@ -423,3 +423,35 @@ def parse_xml_int(c, xpath: str) -> Column:
 def parse_xml_list(c, xpath: str) -> Column:
     """All matches of ``xpath`` as array<string> (xpath.cue plural form)."""
     return F.xpath(_c(c), F.lit(xpath))
+
+
+# -- parse_regex family (parse_regex.cue, parse_regex_all.cue, match.cue)
+
+def match_(c, pattern: str) -> Column:
+    """VRL match: does the value match the regex (unanchored)."""
+    return _c(c).rlike(pattern)
+
+
+def parse_regex(c, pattern: str, group: int = 1) -> Column:
+    """VRL parse_regex: one capture group, NULL when unmatched."""
+    return F.nullif(F.regexp_extract(_c(c), pattern, group), F.lit(""))
+
+
+def parse_regex_all(c, pattern: str, group: int = 0) -> Column:
+    """VRL parse_regex_all: every match as array<string>."""
+    return F.regexp_extract_all(_c(c), F.lit(pattern), F.lit(group))
+
+
+# -- map/object accessors (keys.cue, values.cue, get.cue) ---------------
+
+def keys(map_col) -> Column:
+    return F.map_keys(_c(map_col))
+
+
+def values(map_col) -> Column:
+    return F.map_values(_c(map_col))
+
+
+def get(map_col, key) -> Column:
+    """VRL get on a map column: NULL for absent keys."""
+    return F.try_element_at(_c(map_col), _c(key))
