@@ -1,0 +1,104 @@
+"""Streaming multiline (applyInPandasWithState) tests: stitches span
+micro-batches, all four line_agg modes match the batch operator, stale
+open messages flush on timeout."""
+
+import datetime
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from vector_spark.streaming.multiline_stream import streaming_line_agg
+from vector_spark.streaming.stream_pipeline import TRANSCRIPT_SCHEMA
+
+T0 = datetime.datetime(2024, 1, 1)
+
+
+def _ts(secs):
+    return T0 + datetime.timedelta(seconds=secs)
+
+
+def _write(dirpath, name, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    path = os.path.join(dirpath, name)
+    pq.write_table(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array(["user"] * len(rows), pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+        "tool": pa.array([None] * len(rows), pa.string()),
+        "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+    }), path)
+    seq = int(name.split(".")[0].lstrip("b"))
+    os.utime(path, (1_700_000_000 + seq, 1_700_000_000 + seq))
+
+
+def _run(spark, src, out_name, mode, cond, gap_secs=300):
+    stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    agg = streaming_line_agg(stream, condition=cond, mode=mode,
+                             gap_secs=gap_secs)
+    q = (agg.writeStream.format("memory").queryName(out_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return {(r["key"], r["msg_id"]): r
+            for r in spark.sql(f"select * from {out_name}").collect()}
+
+
+def test_continue_through_spans_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write(src, "b0.parquet", [
+        ("c1", 0, "Traceback:", _ts(0)), ("c1", 1, "  at foo", _ts(1))])
+    # batch 2 continues the SAME message, then a fresh line closes it
+    _write(src, "b1.parquet", [
+        ("c1", 2, "  at bar", _ts(2)), ("c1", 3, "next msg", _ts(3)),
+        ("c2", 0, "clock", _ts(600))])
+    got = _run(spark, src, "ml_a", "continue_through",
+               F.col("text").startswith("  "))
+    m0 = got[("c1", 0)]
+    assert m0["message"] == "Traceback:\n  at foo\n  at bar"
+    assert (m0["first_order"], m0["last_order"], m0["n_lines"]) == (0, 2, 3)
+    assert m0["ended_by"] == "boundary"
+    # the trailing open message flushes when c2's clock passes the gap
+    m1 = got[("c1", 1)]
+    assert m1["message"] == "next msg" and m1["ended_by"] == "timeout"
+
+
+def test_halt_with_closes_immediately(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    _write(src, "b0.parquet", [
+        ("c1", 0, "part a", _ts(0)), ("c1", 1, "end;", _ts(1)),
+        ("c1", 2, "solo;", _ts(2))])
+    got = _run(spark, src, "ml_b", "halt_with", F.col("text").endswith(";"))
+    assert got[("c1", 0)]["message"] == "part a\nend;"
+    assert got[("c1", 0)]["ended_by"] == "boundary"
+    assert got[("c1", 1)]["message"] == "solo;"
+
+
+def test_modes_match_batch_operator(spark, tmp_path):
+    """Every mode's streaming output equals the batch line_agg_mode over
+    the same rows (single group, all data eventually flushed)."""
+    from vector_spark.operators.multiline import line_agg_mode
+
+    rows = [("c1", i, t, _ts(i)) for i, t in enumerate(
+        ["alpha \\", "beta", "gamma", "START delta", "  cont", "omega \\", "tail"])]
+    conds = {
+        "continue_through": F.col("text").startswith("  "),
+        "continue_past": F.col("text").endswith("\\"),
+        "halt_before": F.col("text").startswith("START"),
+        "halt_with": F.col("text").endswith("\\"),
+    }
+    for i, (mode, cond) in enumerate(conds.items()):
+        src = str(tmp_path / f"src_{mode}")
+        _write(src, "b0.parquet", rows[:4])
+        _write(src, "b1.parquet", rows[4:])
+        # late clock row advances the watermark so the tail flushes
+        _write(src, "b2.parquet", [("c9", 0, "clock", _ts(7200))])
+        got = _run(spark, src, f"ml_m{i}", mode, cond)
+        stream_msgs = [got[k]["message"] for k in sorted(got) if k[0] == "c1"]
+        batch_df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string, ts timestamp")
+        batch = line_agg_mode(batch_df, ["conv_id"], "turn_idx", "text",
+                              cond, mode)
+        batch_msgs = [r["message"] for r in batch.orderBy("msg_id").collect()]
+        assert stream_msgs == batch_msgs, (mode, stream_msgs, batch_msgs)

@@ -1,0 +1,123 @@
+"""Streaming multiline / line aggregation with carried state.
+
+Reference: line_agg's four modes (src/line_agg.rs:24-66) run per-stream
+in the reference's streaming core; our batch form (operators/multiline.py)
+is window-based. The streaming form needs real keyed state — a message
+can span micro-batches (a traceback split across two file chunks), so
+the open buffer must survive between triggers.
+
+Spark mapping: ``applyInPandasWithState`` grouped by the stream key.
+State = the OPEN message only (seq, joined buffer, order bounds, line
+count, previous line's condition for the lookbehind modes) — O(open
+message size), never the event history. The condition column is computed
+JVM-side BEFORE the stateful stage. Messages close when the mode's
+boundary rule fires (emitted downstream immediately) or when the
+watermark passes the idle gap (``ended_by='timeout'``, ≙ the reference's
+timeout_ms flush, line_agg.rs config).
+
+Mode boundary rules match operators/multiline.py exactly:
+- continue_through: a NON-matching line starts a new message
+- continue_past:    a line starts a new message iff the PREVIOUS line
+                    did not match (trailing-backslash style)
+- halt_before:      a matching line starts a new message
+- halt_with:        a matching line is the LAST of its message (closed
+                    immediately; the next line opens a new one)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = ("key string, msg_id long, message string, first_order long, "
+                 "last_order long, n_lines long, ended_by string")
+STATE_SCHEMA = ("seq long, buf string, first_o long, last_o long, n long, "
+                "prev_cond boolean, last_ms long")
+
+_MODES = ("continue_through", "continue_past", "halt_before", "halt_with")
+
+
+def _multiline_fn(mode: str, joiner: str, gap_secs: int):
+    if mode not in _MODES:
+        raise ValueError(f"unknown line_agg mode {mode!r}")
+    gap_ms = gap_secs * 1000
+
+    def fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        seq, buf, first_o, last_o, n, prev_cond, last_ms = (
+            state.get if state.exists else (0, "", -1, -1, 0, False, 0))
+
+        def emit(ended_by: str) -> dict[str, Any]:
+            return {"key": k, "msg_id": seq, "message": buf,
+                    "first_order": first_o, "last_order": last_o,
+                    "n_lines": n, "ended_by": ended_by}
+
+        if state.hasTimedOut:
+            out = [emit("timeout")] if n else []
+            state.remove()
+            if out:
+                yield pd.DataFrame(out)
+            return
+
+        pdf = pd.concat(list(pdfs)).sort_values("__order")
+        out = []
+        for o, text, cond in zip(pdf["__order"].to_numpy(),
+                                 pdf["text"].to_numpy(),
+                                 pdf["__cond"].fillna(False).to_numpy(dtype=bool)):
+            if mode == "continue_through":
+                new_msg = not cond
+            elif mode == "continue_past":
+                new_msg = not prev_cond
+            elif mode == "halt_before":
+                new_msg = cond
+            else:  # halt_with
+                new_msg = prev_cond
+            if n and new_msg:
+                out.append(emit("boundary"))
+                seq, buf, first_o, n = seq + 1, "", -1, 0
+            if n == 0:
+                first_o = int(o)
+            buf = text if n == 0 else f"{buf}{joiner}{text}"
+            last_o, n = int(o), n + 1
+            prev_cond = bool(cond)
+            if mode == "halt_with" and cond:
+                out.append(emit("boundary"))
+                seq, buf, first_o, n, prev_cond = seq + 1, "", -1, 0, False
+        last_ms = int(pdf["ts"].astype("int64").max() // 1_000_000)
+        state.update((seq, buf, first_o, last_o, n, bool(prev_cond), last_ms))
+        state.setTimeoutTimestamp(
+            max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1))
+        if out:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def streaming_line_agg(
+    stream: DataFrame, condition: Column, mode: str = "continue_through",
+    key_col: str = "conv_id", order_col: str = "turn_idx",
+    text_col: str = "text", ts_col: str = "ts", joiner: str = "\n",
+    gap_secs: int = 300, watermark: str = "0 seconds",
+) -> DataFrame:
+    """Stitch a keyed line stream into multiline messages with carried
+    state across micro-batches."""
+    from pyspark.sql import functions as F
+
+    staged = (stream
+              .withColumn("__cond", condition)
+              .select(F.col(key_col).alias("key"),
+                      F.col(order_col).cast("long").alias("__order"),
+                      F.col(text_col).alias("text"),
+                      F.col(ts_col).alias("ts"), "__cond")
+              .withWatermark("ts", watermark))
+    return staged.groupBy("key").applyInPandasWithState(
+        _multiline_fn(mode, joiner, gap_secs),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
