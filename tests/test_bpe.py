@@ -1,0 +1,51 @@
+"""BPE tokenizer: deterministic training, correct greedy merge
+application, and the Spark UDF path agreeing with the pure-python
+reference implementation."""
+
+from pyspark.sql import functions as F
+
+from vector_spark.datapipe.bpe import (
+    EOW,
+    bpe_encode,
+    bpe_encode_word,
+    bpe_token_count_udf,
+    bpe_tokens_udf,
+    train_bpe_merges,
+)
+
+CORPUS = ["low lower lowest", "low low low", "new newer newest", "wider new"]
+
+
+def test_training_is_deterministic():
+    m1 = train_bpe_merges(CORPUS, n_merges=30)
+    m2 = train_bpe_merges(list(CORPUS), n_merges=30)
+    assert m1 == m2
+    assert len(m1) <= 30
+    # the most frequent pair in this corpus is ('l','o') (low x5, lower,
+    # lowest) or ('o','w') — both freq 7; tie-break picks the smaller
+    assert m1[0] == ("l", "o")
+
+
+def test_merges_compress_frequent_words():
+    merges = train_bpe_merges(CORPUS, n_merges=50)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    # 'low' appears 5x -> fully merged into one token
+    assert bpe_encode_word("low", ranks) == ["low" + EOW]
+    # unseen word falls back to characters + whatever merges apply
+    toks = bpe_encode_word("zzz", ranks)
+    assert "".join(toks) == "zzz" + EOW
+    # token count of a text = sum over words
+    assert len(bpe_encode("low low", ranks)) == 2
+
+
+def test_udf_matches_reference(spark):
+    merges = train_bpe_merges(CORPUS, n_merges=50)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    texts = CORPUS + ["completely unseen wording", ""]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = df.select("text",
+                    bpe_token_count_udf(merges)(F.col("text")).alias("n"),
+                    bpe_tokens_udf(merges)(F.col("text")).alias("toks")).collect()
+    for r in out:
+        want = bpe_encode(r["text"], ranks)
+        assert r["n"] == len(want) and r["toks"] == want, r["text"]

@@ -681,6 +681,40 @@ def q_syslog_encode_roundtrip(spark, sf_dir):
         back["message"].alias("message"))
 
 
+def _bpe_corpus(sf_dir: str) -> list[tuple[int, str]]:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    rows = sorted(zip(tbl.column("doc_id").to_pylist(),
+                      tbl.column("text").to_pylist()))
+    return rows
+
+
+def _bpe_merges(sf_dir: str):
+    """Deterministic merge table: trained on the first 500 docs in
+    doc_id order — identical for the Spark query and the oracle
+    builder (same trainer, same sample)."""
+    from vector_spark.datapipe.bpe import train_bpe_merges
+
+    rows = _bpe_corpus(sf_dir)
+    return train_bpe_merges([t for _, t in rows[:500]], n_merges=200)
+
+
+def q_text_token_counts_bpe(spark, sf_dir):
+    """REAL BPE token counts (datapipe/bpe.py): greedy merge-table
+    tokenizer as an Arrow-batched pandas UDF — the production token
+    budgeter; the regex n_tokens_bpe in text_token_counts is the cheap
+    JVM-side approximation."""
+    from vector_spark.datapipe.bpe import bpe_token_count_udf
+
+    merges = _bpe_merges(sf_dir)
+    d = _documents(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        bpe_token_count_udf(merges)(F.col("text")).cast("long").alias("n_tokens_bpe_real"))
+
+
 def q_reduce_merge_strategies(spark, sf_dir):
     """concat_raw / shortest_array / longest_array merge strategies
     (reference merge_strategy.rs:17-55) over per-conversation token
@@ -991,6 +1025,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "remap_program": q_remap_program,
     "sample_ratio": q_sample_ratio,
     "text_token_counts": q_text_token_counts,
+    "text_token_counts_bpe": q_text_token_counts_bpe,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
@@ -1588,6 +1623,23 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
       WHERE {_SAMPLE_HASH_SQL} < {int(0.2 * 2**32)}"""
 
     o["text_token_counts"] = dp_oracle.token_counts_sql()
+
+    # real-BPE oracle: expected counts computed by the pure-python
+    # reference implementation (the same one the pytest suite validates)
+    # and embedded as a VALUES table — checks the distributed UDF path
+    # bit-for-bit against the reference tokenizer
+    from vector_spark.datapipe.bpe import bpe_encode
+
+    _bm = _bpe_merges(os.path.join("/root/testdata", sf))
+    _ranks = {tuple(p): i for i, p in enumerate(_bm)}
+    _cache: dict = {}
+    _vals = ", ".join(
+        f"({doc_id}, {len(bpe_encode(text, _ranks, _cache))})"
+        for doc_id, text in _bpe_corpus(os.path.join("/root/testdata", sf)))
+    o["text_token_counts_bpe"] = (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(n AS BIGINT) AS n_tokens_bpe_real "
+        f"FROM (VALUES {_vals}) AS t(doc_id, n)")
     o["text_quality"] = dp_oracle.quality_sql()
     o["text_lang_id"] = dp_oracle.lang_id_sql()
     o["text_fingerprint"] = dp_oracle.fingerprint_sql()
