@@ -285,3 +285,29 @@ def test_telemetry_table_and_tap(spark, tmp_path):
     assert sorted(r["count"] for r in per_run) == [2, 2]
     got = {(r["component_id"], r["value"]) for r in t.collect()}
     assert ("all", 300) in got and ("tapped", counts["tapped"]) in got
+
+
+def test_top_components_summary(spark, tmp_path):
+    from vector_spark.plans.topology import top_components, write_telemetry
+
+    tel = str(tmp_path / "tel")
+    write_telemetry(spark, {"a": 10, "b": 5}, tel)
+    write_telemetry(spark, {"a": 20, "b": 1}, tel)
+    rows = top_components(spark, tel).collect()
+    by_c = {r["component_id"]: r for r in rows}
+    assert by_c["a"]["total"] == 30 and by_c["a"]["n_runs"] == 2
+    assert by_c["a"]["latest"] == 20  # value from the most recent run
+    assert rows[0]["component_id"] == "a"  # sorted by volume
+
+
+def test_avro_codec_raises_actionable_error(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions.binary_codecs import encode_avro
+
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    schema = ('{"type":"record","name":"r","fields":'
+              '[{"name":"id","type":"long"},{"name":"s","type":"string"}]}')
+    with _pytest.raises(RuntimeError, match="spark-avro"):
+        df.select(encode_avro(F.struct("id", "s"), schema)).collect()

@@ -1,0 +1,57 @@
+"""Avro / protobuf codec wiring — gated behind module availability.
+
+Reference: avro + protobuf decoders/encoders in lib/codecs/src/
+{decoding,encoding}/format/. Spark's mapping is `from_avro`/`to_avro`
+(spark-avro module) and `from_protobuf`/`to_protobuf` (spark-protobuf
+module). NEITHER external module ships in this sandbox's Spark build —
+verified: only core avro-1.12.1.jar is present and `to_avro` raises
+AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE. These wrappers detect that and
+raise an actionable error naming the --packages remedy; on a cluster
+with the modules loaded they pass straight through to the native
+functions, and the decode step composes with the shared parse stage
+exactly like the json codec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+
+_AVRO_REMEDY = ("spark-avro module not loaded. Launch with --packages "
+                "org.apache.spark:spark-avro_2.13:<spark-version> "
+                "(sandbox build ships only core avro; see COVERAGE.md).")
+_PB_REMEDY = ("spark-protobuf module not loaded. Launch with --packages "
+              "org.apache.spark:spark-protobuf_2.13:<spark-version>.")
+
+
+def _require_class(class_name: str, remedy: str) -> None:
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return  # no session to check against; let the native error surface
+    try:
+        spark._jvm.java.lang.Class.forName(class_name)
+    except Exception:
+        raise RuntimeError(remedy) from None
+
+
+def decode_avro(data: Column, json_schema: str) -> Column:
+    """Avro binary -> struct per the writer schema (decoding/format/avro)."""
+    _require_class("org.apache.spark.sql.avro.AvroDataToCatalyst", _AVRO_REMEDY)
+    from pyspark.sql.avro.functions import from_avro
+
+    return from_avro(data, json_schema)
+
+
+def encode_avro(data: Column, json_schema: str | None = None) -> Column:
+    _require_class("org.apache.spark.sql.avro.AvroDataToCatalyst", _AVRO_REMEDY)
+    from pyspark.sql.avro.functions import to_avro
+
+    return to_avro(data, json_schema) if json_schema else to_avro(data)
+
+
+def decode_protobuf(data: Column, message_name: str, desc_file: str) -> Column:
+    """Protobuf binary -> struct via a compiled descriptor set
+    (decoding/format/protobuf)."""
+    _require_class("org.apache.spark.sql.protobuf.utils.SchemaConverters", _PB_REMEDY)
+    from pyspark.sql.protobuf.functions import from_protobuf
+
+    return from_protobuf(data, message_name, descFilePath=desc_file)

@@ -335,3 +335,17 @@ def write_tap(df: DataFrame, path: str, fraction: float = 0.01,
 
 def build_topology(spark: SparkSession, spec: dict) -> Topology:
     return Topology(spark, spec)
+
+
+def top_components(spark: SparkSession, telemetry_dir: str) -> DataFrame:
+    """`vector top` analogue: live-ish per-component throughput summary
+    from the persisted telemetry table — totals and per-run latest,
+    sorted by volume."""
+    t = spark.read.parquet(telemetry_dir)
+    latest_run = t.orderBy(F.desc("run_ts")).select("run_id").first()["run_id"]
+    per = (t.groupBy("component_id", "metric")
+           .agg(F.sum("value").alias("total"),
+                F.count("*").alias("n_runs"),
+                F.max_by("value", "run_ts").alias("latest")))
+    return (per.withColumn("latest_run_id", F.lit(latest_run))
+            .orderBy(F.desc("total")))
