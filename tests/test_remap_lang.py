@@ -103,3 +103,44 @@ def test_errors():
         compile_remap("42")
     with pytest.raises(ValueError, match="takes"):
         compile_remap(".x = sha2(.a, 256, 9)")
+
+
+def test_abort_statement_splits_to_dropped(spark):
+    """VRL abort: aborted events stop executing the program and land on
+    the dropped port with the abort message (remap.rs:497-557)."""
+    from vector_spark.functions.remap_lang import remap
+    from vector_spark.operators.remap import remap_split_aborted
+
+    df = spark.createDataFrame(
+        [("a", 200), ("b", 500), ("c", 503)], "id string, status int")
+    out = remap(df, '''
+        .sev = "ok"
+        if .status >= 500 { abort "server error" }
+        .sev = "checked"
+    ''')
+    ports = remap_split_aborted(out, component_id="remap1")
+    prim = {r["id"]: r for r in ports["primary"].collect()}
+    drop = {r["id"]: r for r in ports["dropped"].collect()}
+    assert set(prim) == {"a"} and set(drop) == {"b", "c"}
+    # post-abort statements did NOT run for aborted rows
+    assert prim["a"]["sev"] == "checked"
+    assert drop["b"]["sev"] == "ok"
+    assert drop["b"]["dropped_message"] == "server error"
+    assert drop["b"]["dropped_reason"] == "abort"
+    # abort columns are stripped from both ports
+    assert "__aborted" not in ports["primary"].columns
+
+
+def test_abort_without_message_and_no_abort_noop(spark):
+    from vector_spark.functions.remap_lang import remap
+    from vector_spark.operators.remap import remap_split_aborted
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "id string, n int")
+    out = remap(df, 'if .n == 2 { abort }')
+    ports = remap_split_aborted(out, "r")
+    assert {r["id"] for r in ports["dropped"].collect()} == {"b"}
+    assert ports["dropped"].first()["dropped_message"] == "aborted"
+    # a program with no abort: split is a no-op passthrough
+    out2 = remap(df, '.x = .n + 1')
+    ports2 = remap_split_aborted(out2, "r")
+    assert ports2["dropped"].count() == 0 and ports2["primary"].count() == 2

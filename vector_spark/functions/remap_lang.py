@@ -83,7 +83,14 @@ _FUNCS = {
     "ceil": (F.ceil, 1, 1),
 }
 
-_KEYWORDS = {"if", "else", "del", "true", "false", "null"}
+_KEYWORDS = {"if", "else", "del", "true", "false", "null", "abort"}
+
+# abort support (reference: VRL `abort` expression + remap's
+# drop_on_abort/reroute_dropped, src/transforms/remap.rs:497-557):
+# aborted events surface as these columns; operators/remap.py's
+# remap_split_dropped routes them to the dropped port.
+ABORTED_COL = "__aborted"
+ABORT_MSG_COL = "__abort_message"
 
 
 class _Tok:
@@ -150,6 +157,10 @@ class _Compiler:
         # env: field -> current Column expr (sequential visibility);
         # deleted fields are tombstoned with None
         self.env: dict[str, Column | None] = {}
+        # running abort condition (VRL abort exits the program for the
+        # event: later statements are suppressed for aborted rows)
+        self.aborted: Column | None = None
+        self.abort_msg: Column | None = None
 
     # -- token plumbing -------------------------------------------------
     def peek(self) -> _Tok | None:
@@ -182,10 +193,22 @@ class _Compiler:
     def program(self) -> tuple[dict[str, Column], list[str]]:
         while self.peek() is not None:
             self.statement(guard=None)
+        if self.aborted is not None:
+            self.env[ABORTED_COL] = F.coalesce(self.aborted, F.lit(False))
+            self.env[ABORT_MSG_COL] = self.abort_msg
         updates = {k: v for k, v in self.env.items() if v is not None}
         deletes = [k for k, v in self.env.items()
                    if v is None and (self.known is None or k in self.known)]
         return updates, deletes
+
+    def _guard(self, guard: Column | None) -> Column | None:
+        """Effective statement guard: the lexical guard AND not-aborted —
+        VRL's abort stops the program for that event, so statements after
+        an abort must not touch aborted rows."""
+        if self.aborted is None:
+            return guard
+        not_ab = ~F.coalesce(self.aborted, F.lit(False))
+        return not_ab if guard is None else (guard & not_ab)
 
     def statement(self, guard: Column | None) -> None:
         t = self.peek()
@@ -194,6 +217,25 @@ class _Compiler:
         if t.kind == "ident" and t.value == "if":
             self.if_statement(guard)
             return
+        if t.kind == "ident" and t.value == "abort":
+            self.next()
+            msg = None
+            nt = self.peek()
+            if nt is not None and nt.kind == "str":
+                self.next()
+                msg = F.lit(nt.value[1:-1])
+            self._maybe_semi()
+            cond = F.lit(True) if guard is None else guard
+            eff = cond if self.aborted is None else (
+                cond & ~F.coalesce(self.aborted, F.lit(False)))
+            if msg is not None:
+                new_msg = F.when(eff, msg)
+                self.abort_msg = (new_msg if self.abort_msg is None
+                                  else F.coalesce(self.abort_msg, new_msg))
+            self.aborted = (cond if self.aborted is None
+                            else self.aborted | cond)
+            return
+        guard = self._guard(guard)
         if t.kind == "ident" and t.value == "del":
             self.next()
             self.expect("(")

@@ -47,3 +47,20 @@ def remap_split_dropped(
         .withColumn("dropped_component_kind", F.lit("transform"))
     )
     return {"primary": df.filter(~err), "dropped": dropped}
+
+
+def remap_split_aborted(df: DataFrame, component_id: str) -> dict[str, DataFrame]:
+    """Split on the VRL ``abort`` columns a remap program emits
+    (functions/remap_lang.py ABORTED_COL/ABORT_MSG_COL): aborted events
+    land on the dropped port with reason='abort' and the abort message
+    (remap.rs:497-557 drop_on_abort + reroute_dropped)."""
+    from vector_spark.functions.remap_lang import ABORT_MSG_COL, ABORTED_COL
+
+    if ABORTED_COL not in df.columns:
+        return {"primary": df, "dropped": df.limit(0)}
+    msg = (F.coalesce(F.col(ABORT_MSG_COL), F.lit("aborted"))
+           if ABORT_MSG_COL in df.columns else F.lit("aborted"))
+    ports = remap_split_dropped(df, F.col(ABORTED_COL), component_id,
+                                reason="abort", message=msg)
+    drop_cols = [c for c in (ABORTED_COL, ABORT_MSG_COL) if c in df.columns]
+    return {k: v.drop(*drop_cols) for k, v in ports.items()}
