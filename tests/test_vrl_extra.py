@@ -138,3 +138,47 @@ def test_parse_regex_family_and_map_accessors(spark):
                  vrl.get(F.col("mp"), "zz").alias("g2")).first()
     assert sorted(r["k"]) == ["a", "b"] and sorted(r["v"]) == [1, 2]
     assert r["g"] == 1 and r["g2"] is None
+
+
+def test_number_and_bytes_functions(spark):
+    from vector_spark.functions import vrl
+
+    df = spark.createDataFrame([(1,)], "x int")
+    r = df.select(
+        vrl.abs_(F.lit(-3.5)).alias("a"),
+        vrl.round_(F.lit(2.345), 2).alias("r"),
+        vrl.floor_(F.lit(2.789), 1).alias("f"),
+        vrl.ceil_(F.lit(2.101), 1).alias("c"),
+        vrl.mod(F.lit(17), 5).alias("m"),
+        vrl.format_number(F.lit(1234567.891), 2).alias("fmt"),
+        vrl.format_number(F.lit(1234.5), 2, ",", ".").alias("fmt_eu"),
+        vrl.parse_bytes(F.lit("1.5MiB")).alias("mib"),
+        vrl.parse_bytes(F.lit("3kB")).alias("kb"),
+        vrl.parse_bytes(F.lit("1024")).alias("plain"),
+        vrl.parse_bytes(F.lit("9zz")).alias("bad")).first()
+    assert r["a"] == 3.5 and r["r"] == 2.35 and abs(r["f"] - 2.7) < 1e-9
+    assert abs(r["c"] - 2.2) < 1e-9 and r["m"] == 2
+    assert r["fmt"] == "1,234,567.89" and r["fmt_eu"] == "1.234,50"
+    assert r["mib"] == 1572864 and r["kb"] == 3000 and r["plain"] == 1024
+    assert r["bad"] is None
+
+
+def test_casing_and_array_functions(spark):
+    from vector_spark.functions import vrl
+
+    df = spark.createDataFrame([("inputString-with_mixed  parts",)], "s string")
+    r = df.select(
+        vrl.snakecase(F.col("s")).alias("sn"),
+        vrl.kebabcase(F.col("s")).alias("kb"),
+        vrl.camelcase(F.col("s")).alias("cm"),
+        vrl.strip_ansi_escape_codes(F.lit("\x1b[31mred\x1b[0m plain")).alias("ansi"),
+        vrl.push(F.array(F.lit(1), F.lit(2)), F.lit(3)).alias("p"),
+        vrl.append(F.array(F.lit(1)), F.array(F.lit(2), F.lit(3))).alias("ap"),
+        vrl.includes(F.array(F.lit("a"), F.lit("b")), F.lit("b")).alias("inc"),
+        vrl.chunks(F.array(*[F.lit(i) for i in range(5)]), 2).alias("ch")).first()
+    assert r["sn"] == "input_string_with_mixed_parts"
+    assert r["kb"] == "input-string-with-mixed-parts"
+    assert r["cm"] == "inputStringWithMixedParts"
+    assert r["ansi"] == "red plain"
+    assert r["p"] == [1, 2, 3] and r["ap"] == [1, 2, 3] and r["inc"] is True
+    assert r["ch"] == [[0, 1], [2, 3], [4]]

@@ -455,3 +455,114 @@ def values(map_col) -> Column:
 def get(map_col, key) -> Column:
     """VRL get on a map column: NULL for absent keys."""
     return F.try_element_at(_c(map_col), _c(key))
+
+
+# -- number / format (abs.cue, round.cue, floor.cue, ceil.cue, mod.cue,
+#    format_number.cue) --------------------------------------------------
+
+def abs_(c) -> Column:
+    return F.abs(_c(c))
+
+
+def round_(c, precision: int = 0) -> Column:
+    return F.round(_c(c), precision)
+
+
+def floor_(c, precision: int = 0) -> Column:
+    if precision == 0:
+        return F.floor(_c(c))
+    scale = 10 ** precision
+    return F.floor(_c(c) * scale) / scale
+
+
+def ceil_(c, precision: int = 0) -> Column:
+    if precision == 0:
+        return F.ceil(_c(c))
+    scale = 10 ** precision
+    return F.ceil(_c(c) * scale) / scale
+
+
+def mod(c, modulus) -> Column:
+    return _c(c) % _c(modulus)
+
+
+def format_number(c, scale: int = 2, decimal_separator: str = ".",
+                  grouping_separator: str = ",") -> Column:
+    """format_number.cue: fixed decimals + thousands grouping."""
+    out = F.format_number(_c(c).cast("double"), scale)
+    if grouping_separator != "," or decimal_separator != ".":
+        out = F.translate(out, ",.", grouping_separator + decimal_separator)
+    return out
+
+
+# -- parse_bytes (parse_bytes.cue): '1.5MiB' -> byte count --------------
+
+_BYTE_UNITS = {
+    "B": 1, "kB": 10**3, "MB": 10**6, "GB": 10**9, "TB": 10**12,
+    "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40,
+}
+
+
+def parse_bytes(c) -> Column:
+    """'1024', '3kB', '1.5MiB' -> bytes as long (binary + SI units,
+    parse_bytes.cue). NULL on unknown unit."""
+    num = F.regexp_extract(_c(c), r"^([0-9.]+)", 1).cast("double")
+    unit = F.regexp_extract(_c(c), r"([A-Za-z]+)$", 1)
+    scale = F.when(unit == "", F.lit(1.0))
+    for u, mult in _BYTE_UNITS.items():
+        scale = scale.when(unit == u, F.lit(float(mult)))
+    return (num * scale).cast("long")
+
+
+# -- string casing / cleanup (camelcase.cue, snakecase.cue,
+#    kebabcase.cue, strip_ansi_escape_codes.cue) -------------------------
+
+_WORD_SPLIT = r"[^A-Za-z0-9]+"
+
+
+def _words_arr(c) -> Column:
+    # split on separators AND lower-camel boundaries
+    boundary = F.regexp_replace(_c(c), r"([a-z0-9])([A-Z])", r"$1 $2")
+    return F.filter(F.split(boundary, _WORD_SPLIT), lambda w: w != "")
+
+
+def snakecase(c) -> Column:
+    return F.lower(F.array_join(_words_arr(c), "_"))
+
+
+def kebabcase(c) -> Column:
+    return F.lower(F.array_join(_words_arr(c), "-"))
+
+
+def camelcase(c) -> Column:
+    words = _words_arr(c)
+    cap = F.transform(
+        words,
+        lambda w, i: F.when(i == 0, F.lower(w)).otherwise(F.initcap(F.lower(w))))
+    return F.array_join(cap, "")
+
+
+def strip_ansi_escape_codes(c) -> Column:
+    return F.regexp_replace(_c(c), r"\x1b\[[0-9;]*[A-Za-z]", "")
+
+
+# -- array ops (push.cue, append.cue, includes.cue, chunks.cue) ---------
+
+def push(arr, value) -> Column:
+    return F.array_append(_c(arr), _c(value))
+
+
+def append(arr, other) -> Column:
+    return F.concat(_c(arr), _c(other))
+
+
+def includes(arr, value) -> Column:
+    return F.array_contains(_c(arr), _c(value))
+
+
+def chunks(arr, chunk_size: int) -> Column:
+    """chunks.cue: split an array into chunk_size-long slices."""
+    a = _c(arr)
+    n_chunks = F.ceil(F.size(a) / chunk_size).cast("int")
+    return F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                       lambda i: F.slice(a, i * chunk_size + 1, chunk_size))
