@@ -1,0 +1,63 @@
+"""Streaming tag_cardinality_limit: the accepted-value set carries
+across micro-batches (first-seen wins globally, not per batch)."""
+
+import datetime
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from vector_spark.streaming.cardinality_stream import (
+    streaming_tag_cardinality_limit,
+)
+from vector_spark.streaming.stream_pipeline import TRANSCRIPT_SCHEMA
+
+T0 = datetime.datetime(2024, 1, 1)
+
+
+def _write(dirpath, name, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    path = os.path.join(dirpath, name)
+    pq.write_table(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array(["user"] * len(rows), pa.string()),
+        "text": pa.array(["x"] * len(rows), pa.string()),
+        "tool": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array([T0 + datetime.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+    }), path)
+    seq = int(name.split(".")[0].lstrip("b"))
+    os.utime(path, (1_700_000_000 + seq, 1_700_000_000 + seq))
+
+
+def _run(spark, src, out_name, action):
+    stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_tag_cardinality_limit(
+        stream, scope_cols=["conv_id"], tag_col="tool", value_limit=2,
+        action=action)
+    q = (out.writeStream.format("memory").queryName(out_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.sql(f"select * from {out_name}").collect()
+
+
+def test_accepted_set_spans_batches_drop_tag(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # batch 1 accepts bash + web (limit 2)
+    _write(src, "b0.parquet", [("c1", 0, "bash"), ("c1", 1, "web")])
+    # batch 2: bash still accepted; curl is the THIRD value -> tag dropped
+    _write(src, "b1.parquet", [("c1", 2, "bash"), ("c1", 3, "curl")])
+    rows = {r["turn_idx"]: r["tool"] for r in _run(spark, src, "card_a", "drop_tag")}
+    assert rows == {0: "bash", 1: "web", 2: "bash", 3: None}
+
+
+def test_drop_event_mode_and_scope_isolation(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    _write(src, "b0.parquet", [
+        ("c1", 0, "a"), ("c1", 1, "b"), ("c1", 2, "c"),   # c over limit
+        ("c2", 0, "x")])                                   # fresh scope
+    rows = _run(spark, src, "card_b", "drop_event")
+    got = {(r["conv_id"], r["turn_idx"]) for r in rows}
+    assert got == {("c1", 0), ("c1", 1), ("c2", 0)}

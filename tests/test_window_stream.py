@@ -1,0 +1,65 @@
+"""Streaming window context-grab: the lookback ring buffer carries
+across micro-batches; lookahead spans them too."""
+
+import datetime
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from vector_spark.streaming.stream_pipeline import TRANSCRIPT_SCHEMA
+from vector_spark.streaming.window_stream import streaming_window_context
+
+T0 = datetime.datetime(2024, 1, 1)
+
+
+def _write(dirpath, name, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    path = os.path.join(dirpath, name)
+    pq.write_table(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array(["user"] * len(rows), pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+        "tool": pa.array([None] * len(rows), pa.string()),
+        "ts": pa.array([T0 + datetime.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+    }), path)
+    seq = int(name.split(".")[0].lstrip("b"))
+    os.utime(path, (1_700_000_000 + seq, 1_700_000_000 + seq))
+
+
+def _run(spark, src, out_name, before=2, after=0):
+    stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_window_context(
+        stream, flush_when=F.col("text").startswith("ERROR"),
+        num_events_before=before, num_events_after=after)
+    q = (out.writeStream.format("memory").queryName(out_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return {r["turn_idx"]: r for r in
+            spark.sql(f"select * from {out_name} where key = 'c1'").collect()}
+
+
+def test_lookback_buffer_spans_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # batch 1: 3 quiet lines (ring keeps last 2)
+    _write(src, "b0.parquet", [("c1", 0, "a"), ("c1", 1, "b"), ("c1", 2, "c")])
+    # batch 2: the flush — must emit turns 1,2 (carried buffer) + 3
+    _write(src, "b1.parquet", [("c1", 3, "ERROR boom"), ("c1", 4, "quiet")])
+    got = _run(spark, src, "win_a", before=2, after=0)
+    assert set(got) == {1, 2, 3}
+    assert got[3]["window_flush"] is True
+    assert got[1]["window_flush"] is False
+    assert got[1]["text"] == "b" and got[2]["text"] == "c"
+
+
+def test_lookahead_spans_batches(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    _write(src, "b0.parquet", [("c1", 0, "ERROR x"), ("c1", 1, "after1")])
+    _write(src, "b1.parquet", [("c1", 2, "after2"), ("c1", 3, "dropped")])
+    got = _run(spark, src, "win_b", before=1, after=2)
+    assert set(got) == {0, 1, 2}
+    assert got[0]["window_flush"] is True

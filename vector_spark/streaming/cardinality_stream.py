@@ -1,0 +1,90 @@
+"""Streaming tag_cardinality_limit with carried first-seen state.
+
+Reference: the transform accepts the first ``value_limit`` distinct
+values per tag key and drops (or untags) events beyond them — inherently
+stateful and order-sensitive (src/transforms/tag_cardinality_limit/
+mod.rs:26-118). The batch form (operators/cardinality.py) reconstructs
+first-seen order with window functions; the streaming form carries the
+ACCEPTED VALUE SET across micro-batches, which is exactly the reference
+mechanism.
+
+Spark mapping: ``applyInPandasWithState`` grouped by the scope key.
+State = the accepted values (bounded by value_limit — O(limit) per
+scope, the same bound as the reference's HashSet mode). Rows are folded
+in (ts, order) within the batch; a value is admitted if already
+accepted or if the set has room. action='drop_tag' nulls the tag on
+rejected rows, action='drop_event' drops them.
+
+State never expires (the reference's set also lives for the process
+lifetime); at 10^6 scopes x limit values it is still tiny.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "accepted array<string>"
+
+
+def _card_fn(value_limit: int, action: str):
+    if action not in ("drop_tag", "drop_event"):
+        raise ValueError(f"unknown action {action!r}")
+
+    def fn(key: Tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (accepted,) = state.get if state.exists else ([],)
+        acc = list(accepted)
+        acc_set = set(acc)
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "__order"])
+        keep_rows = []
+        tags = []
+        for tag in pdf["__tag"]:
+            ok = tag in acc_set
+            if not ok and tag is not None and len(acc) < value_limit:
+                acc.append(tag)
+                acc_set.add(tag)
+                ok = True
+            if action == "drop_event":
+                keep_rows.append(ok)
+            else:
+                keep_rows.append(True)
+                tags.append(tag if ok else None)
+        out = pdf[pd.Series(keep_rows, index=pdf.index)].copy()
+        if action == "drop_tag":
+            out["__tag"] = pd.Series(tags, index=pdf.index)[keep_rows]
+        state.update((acc,))
+        if len(out):
+            yield out
+
+    return fn
+
+
+def streaming_tag_cardinality_limit(
+    stream: DataFrame, scope_cols: list[str], tag_col: str,
+    value_limit: int, action: str = "drop_tag",
+    ts_col: str = "ts", order_col: str = "turn_idx",
+) -> DataFrame:
+    """First-`value_limit`-distinct-values cardinality cap with state
+    carried across micro-batches. Output schema == input schema."""
+    from pyspark.sql import functions as F
+
+    in_cols = stream.columns
+    staged = (stream
+              .withColumn("__tag", F.col(tag_col).cast("string"))
+              .withColumn("__order", F.col(order_col).cast("long")))
+    out = staged.groupBy(*scope_cols).applyInPandasWithState(
+        _card_fn(value_limit, action),
+        outputStructType=staged.schema,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # restore the (possibly nulled) tag and the original column set
+    out = out.withColumn(
+        tag_col,
+        F.col("__tag").cast(dict(stream.dtypes)[tag_col]))
+    return out.select(*in_cols)

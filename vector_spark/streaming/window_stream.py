@@ -1,0 +1,95 @@
+"""Streaming window context-grab with a carried ring buffer.
+
+Reference: the window transform holds a ring buffer of the last
+``num_events_before`` events per stream and forwards them (plus the
+next ``num_events_after``) when ``flush_when`` fires — grep -B/-A over
+a live stream (src/transforms/window/transform.rs:13-95). The batch
+form (operators/window.py) is a frame max; the streaming form needs the
+actual ring buffer, because the lookback can span micro-batches.
+
+Spark mapping: ``applyInPandasWithState`` per stream key. State =
+(ring buffer of the last N pending events as parallel arrays, remaining
+lookahead counter) — O(num_events_before) per key, exactly the
+reference's bound. An event is emitted when it IS a flush, when it sits
+in the buffer as a flush fires, or while the lookahead counter is
+positive; buffered events are emitted at flush time (the reference
+forwards them then too, so downstream sees them late but in order).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = ("key string, turn_idx long, text string, ts timestamp, "
+                 "window_flush boolean")
+STATE_SCHEMA = ("buf_order array<long>, buf_text array<string>, "
+                "buf_ts array<long>, after_left long")
+
+
+def _window_fn(n_before: int, n_after: int):
+    def fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.exists:
+            buf_o, buf_t, buf_ms, after_left = state.get
+            buf = [(o, t, m) for o, t, m in zip(buf_o, buf_t, buf_ms)]
+        else:
+            buf, after_left = [], 0
+
+        pdf = pd.concat(list(pdfs)).sort_values("__order")
+        out = []
+
+        def emit(o, t, ms, flush):
+            out.append({"key": k, "turn_idx": int(o), "text": t,
+                        "ts": pd.Timestamp(int(ms), unit="ms"),
+                        "window_flush": bool(flush)})
+
+        for o, t, ms, cond in zip(
+                pdf["__order"].to_numpy(), pdf["text"].to_numpy(),
+                (pdf["ts"].astype("int64") // 1_000_000).to_numpy(),
+                pdf["__flush"].fillna(False).to_numpy(dtype=bool)):
+            if cond:
+                for bo, bt, bm in buf:      # flush the lookback buffer
+                    emit(bo, bt, bm, False)
+                buf.clear()
+                emit(o, t, ms, True)
+                after_left = n_after
+            elif after_left > 0:
+                emit(o, t, ms, False)
+                after_left -= 1
+            else:
+                buf.append((int(o), t, int(ms)))
+                if len(buf) > n_before:
+                    buf.pop(0)
+        state.update(([b[0] for b in buf], [b[1] for b in buf],
+                      [b[2] for b in buf], after_left))
+        if out:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def streaming_window_context(
+    stream: DataFrame, flush_when: Column, key_col: str = "conv_id",
+    order_col: str = "turn_idx", text_col: str = "text", ts_col: str = "ts",
+    num_events_before: int = 2, num_events_after: int = 0,
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    staged = (stream
+              .withColumn("__flush", flush_when)
+              .select(F.col(key_col).alias("key"),
+                      F.col(order_col).cast("long").alias("__order"),
+                      F.col(text_col).alias("text"),
+                      F.col(ts_col).alias("ts"), "__flush"))
+    return staged.groupBy("key").applyInPandasWithState(
+        _window_fn(num_events_before, num_events_after),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
