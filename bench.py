@@ -201,9 +201,11 @@ def main() -> None:
     spark = _get_session(args.cpus)
     per_query: dict[str, float] = {}
     try:
-        # flagship end-to-end (the north-rule metric), after one warm-up pass
+        # flagship end-to-end (the north-rule metric), after one warm-up
+        # pass; best-of-5 because the box is shared and one load spike
+        # otherwise masquerades as a regression
         run_flagship(spark, args.sf_dir)
-        flagship_s, n_turns, _ = run_flagship(spark, args.sf_dir, best_of=3)
+        flagship_s, n_turns, _ = run_flagship(spark, args.sf_dir, best_of=5)
 
         for name in HEADLINE:
             fn = queries.get(name)
