@@ -57,7 +57,9 @@ def test_drop_event_mode_and_scope_isolation(spark, tmp_path):
     src = str(tmp_path / "src2")
     _write(src, "b0.parquet", [
         ("c1", 0, "a"), ("c1", 1, "b"), ("c1", 2, "c"),   # c over limit
+        ("c1", 3, None),                                   # untagged event
         ("c2", 0, "x")])                                   # fresh scope
     rows = _run(spark, src, "card_b", "drop_event")
     got = {(r["conv_id"], r["turn_idx"]) for r in rows}
-    assert got == {("c1", 0), ("c1", 1), ("c2", 0)}
+    # untagged events pass through and consume nothing, even in drop_event
+    assert got == {("c1", 0), ("c1", 1), ("c1", 3), ("c2", 0)}

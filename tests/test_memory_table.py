@@ -135,3 +135,24 @@ def test_merge_replayed_epoch_is_noop(spark, tmp_path):
     v3 = t.merge(upd2, epoch=1)
     assert v3 == v1 + 1
     assert t.snapshot().first()["seen_count"] == 5
+
+
+def test_reset_epochs_allows_reprocessing(spark, tmp_path):
+    """Deleting the streaming checkpoint restarts epoch_ids at 0;
+    reset_epochs() clears the replay stamp so those merges apply."""
+    import datetime
+
+    from vector_spark.operators.memory_table import MemoryTable
+
+    t = MemoryTable(spark, str(tmp_path / "mt2"), key="k")
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 1, 2)  # later ts so latest-per-key wins
+    upd0 = spark.createDataFrame([("a", t0, 1)], "k string, updated_at timestamp, seen_count long")
+    upd1 = spark.createDataFrame([("a", t1, 101)], "k string, updated_at timestamp, seen_count long")
+    t.merge(upd0, epoch=5)
+    # restart-from-scratch without reset: epoch 0 is silently skipped
+    t.merge(upd1, epoch=0)
+    assert t.snapshot().first()["seen_count"] == 1
+    t.reset_epochs()
+    t.merge(upd1, epoch=0)
+    assert t.snapshot().first()["seen_count"] == 101

@@ -102,3 +102,25 @@ def test_modes_match_batch_operator(spark, tmp_path):
                               cond, mode)
         batch_msgs = [r["message"] for r in batch.orderBy("msg_id").collect()]
         assert stream_msgs == batch_msgs, (mode, stream_msgs, batch_msgs)
+
+
+def test_msg_id_survives_timeout_flush(spark, tmp_path):
+    """A timeout-flushed key resuming within the grace cycle continues
+    msg_id numbering instead of reusing 0 (same class of defect as the
+    round-1 session_reduce seq reset)."""
+    src = str(tmp_path / "src_seq")
+    _write(src, "b0.parquet", [("c1", 0, "lonely open msg", _ts(0))])
+    # advance the watermark far past c1's gap (300s)
+    _write(src, "b1.parquet", [("c9", 0, "clock a", _ts(600))])
+    # spacer: the c1 timeout fires here
+    _write(src, "b2.parquet", [("c9", 1, "clock b", _ts(601))])
+    # c1 resumes within the grace window, closes by boundary + tail flush
+    _write(src, "b3.parquet", [
+        ("c1", 1, "second msg", _ts(602)), ("c1", 2, "third", _ts(603)),
+        ("c9", 2, "clock c", _ts(7200))])
+    got = _run(spark, src, "ml_seq", "continue_through",
+               F.col("text").startswith("  "), gap_secs=300)
+    c1 = {k[1]: v for k, v in got.items() if k[0] == "c1"}
+    assert set(c1) == {0, 1, 2}, c1
+    assert c1[0]["ended_by"] == "timeout" and c1[0]["message"] == "lonely open msg"
+    assert c1[1]["message"] == "second msg"

@@ -115,16 +115,23 @@ def test_abort_statement_splits_to_dropped(spark):
         [("a", 200), ("b", 500), ("c", 503)], "id string, status int")
     out = remap(df, '''
         .sev = "ok"
-        if .status >= 500 { abort "server error" }
+        .status = .status + 1000
+        if .status >= 1500 { abort "server error" }
         .sev = "checked"
     ''')
     ports = remap_split_aborted(out, component_id="remap1")
     prim = {r["id"]: r for r in ports["primary"].collect()}
     drop = {r["id"]: r for r in ports["dropped"].collect()}
     assert set(prim) == {"a"} and set(drop) == {"b", "c"}
-    # post-abort statements did NOT run for aborted rows
+    # post-abort statements did NOT run for aborted rows, and
+    # clone-before-run (remap.rs:568-587): aborted rows forward the
+    # ORIGINAL event — the pre-abort `.sev = "ok"` write is rewound, so
+    # the new field reads NULL on the dropped port
     assert prim["a"]["sev"] == "checked"
-    assert drop["b"]["sev"] == "ok"
+    assert prim["a"]["status"] == 1200          # non-aborted keep mutations
+    assert drop["b"]["sev"] is None
+    assert drop["b"]["status"] == 500           # aborted keep the ORIGINAL
+    assert drop["c"]["status"] == 503
     assert drop["b"]["dropped_message"] == "server error"
     assert drop["b"]["dropped_reason"] == "abort"
     # abort columns are stripped from both ports

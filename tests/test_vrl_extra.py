@@ -89,6 +89,13 @@ def test_parse_int_and_format_int(spark):
     back = spark.createDataFrame([("ff",), ("zz",)], "s string").select(
         parse_int(F.col("s"), 16).alias("v")).collect()
     assert [r["v"] for r in back] == [255, 0]  # conv maps garbage to 0
+    # signed decimals parse; garbage -> NULL; negatives format as -<mag>
+    signed = spark.createDataFrame([("-42",), ("+7",), ("nope",)], "s string").select(
+        parse_int(F.col("s")).alias("v")).collect()
+    assert [r["v"] for r in signed] == [-42, 7, None]
+    neg = spark.createDataFrame([(-255,)], "n long").select(
+        format_int(F.col("n"), 16).alias("h")).first()
+    assert neg["h"] == "-ff"
 
 
 def test_gzip_zlib_codecs(spark):
@@ -182,3 +189,6 @@ def test_casing_and_array_functions(spark):
     assert r["ansi"] == "red plain"
     assert r["p"] == [1, 2, 3] and r["ap"] == [1, 2, 3] and r["inc"] is True
     assert r["ch"] == [[0, 1], [2, 3], [4]]
+    # chunks of an empty array is [] (not two phantom empty chunks)
+    empty = df.select(vrl.chunks(F.expr("array()"), 2).alias("e")).first()
+    assert empty["e"] == []

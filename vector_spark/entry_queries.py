@@ -658,7 +658,8 @@ def q_parse_gelf_roundtrip(spark, sf_dir):
     g = parse_gelf(t.select("conv_id", "turn_idx", line.alias("raw")),
                    text_col="raw", extra_keys=["_tool"])
     return g.select("conv_id", "turn_idx", "gelf_version", "gelf_host",
-                    "gelf_short_message", "gelf_timestamp",
+                    "gelf_short_message",
+                    F.round("gelf_timestamp", 6).alias("gelf_timestamp"),
                     "gelf_level", F.col("ext_tool"))
 
 
@@ -681,20 +682,30 @@ def q_syslog_encode_roundtrip(spark, sf_dir):
         back["message"].alias("message"))
 
 
-def _bpe_corpus(sf_dir: str) -> list[tuple[int, str]]:
+# testdata root for oracle builders that must read the same parquet the
+# Spark queries read (BPE merges, IVF centroids); overridable so a
+# relocated fixture tree doesn't silently train on stale data
+TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+
+import functools  # noqa: E402
+
+
+@functools.lru_cache(maxsize=8)
+def _bpe_corpus(sf_dir: str) -> tuple[tuple[int, str], ...]:
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                         columns=["doc_id", "text"])
-    rows = sorted(zip(tbl.column("doc_id").to_pylist(),
-                      tbl.column("text").to_pylist()))
-    return rows
+    return tuple(sorted(zip(tbl.column("doc_id").to_pylist(),
+                            tbl.column("text").to_pylist())))
 
 
+@functools.lru_cache(maxsize=8)
 def _bpe_merges(sf_dir: str):
     """Deterministic merge table: trained on the first 500 docs in
     doc_id order — identical for the Spark query and the oracle
-    builder (same trainer, same sample)."""
+    builder (same trainer, same sample). Cached per sf_dir: training is
+    seconds of driver CPU and oracle_sql_for may be called repeatedly."""
     from vector_spark.datapipe.bpe import train_bpe_merges
 
     rows = _bpe_corpus(sf_dir)
@@ -913,10 +924,12 @@ def q_dedup_simhash(spark, sf_dir):
             .select("id1", "id2", "h1", "h2", F.col("hamming").cast("long").alias("hamming")))
 
 
+@functools.lru_cache(maxsize=8)
 def _ivf_centroids(sf_dir: str):
     """Deterministic k-means centroids for the fixture — the ORACLE
     builder derives the identical literals from the same parquet
-    (datapipe/similarity.py::fit_centroids_from_parquet)."""
+    (datapipe/similarity.py::fit_centroids_from_parquet). Cached: the
+    fit is a driver-side k-means and oracle_sql_for calls it twice."""
     from vector_spark.datapipe.similarity import fit_centroids_from_parquet
 
     return fit_centroids_from_parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -1547,7 +1560,7 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
              '1.1' AS gelf_version,
              conv_id AS gelf_host,
              text AS gelf_short_message,
-             CAST(epoch(ts) AS DOUBLE) AS gelf_timestamp,
+             round(CAST(epoch(ts) AS DOUBLE), 6) AS gelf_timestamp,
              CAST(turn_idx % 8 AS INTEGER) AS gelf_level,
              coalesce(tool, 'none') AS ext_tool
       FROM read_parquet('{tp}') WHERE turn_idx % 11 = 7"""
@@ -1630,12 +1643,12 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
     # bit-for-bit against the reference tokenizer
     from vector_spark.datapipe.bpe import bpe_encode
 
-    _bm = _bpe_merges(os.path.join("/root/testdata", sf))
+    _bm = _bpe_merges(os.path.join(TESTDATA_ROOT, sf))
     _ranks = {tuple(p): i for i, p in enumerate(_bm)}
     _cache: dict = {}
     _vals = ", ".join(
         f"({doc_id}, {len(bpe_encode(text, _ranks, _cache))})"
-        for doc_id, text in _bpe_corpus(os.path.join("/root/testdata", sf)))
+        for doc_id, text in _bpe_corpus(os.path.join(TESTDATA_ROOT, sf)))
     o["text_token_counts_bpe"] = (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
         "CAST(n AS BIGINT) AS n_tokens_bpe_real "
@@ -1647,7 +1660,7 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
     o["dedup_ngram_jaccard"] = dp_oracle.ngram_jaccard_sql(min_shared=2, max_df=10)
     o["dedup_minhash_lsh"] = dp_oracle.minhash_lsh_sql()
     o["dedup_simhash"] = dp_oracle.simhash_sql()
-    _cents = _ivf_centroids(os.path.join("/root/testdata", sf))
+    _cents = _ivf_centroids(os.path.join(TESTDATA_ROOT, sf))
     o["dedup_embedding_cosine"] = dp_oracle.embedding_neardup_sql(min_cosine=0.35)
     o["dedup_embedding_ivf"] = dp_oracle.embedding_neardup_sql(
         min_cosine=0.35, centroids=_cents)

@@ -194,7 +194,22 @@ class _Compiler:
         while self.peek() is not None:
             self.statement(guard=None)
         if self.aborted is not None:
-            self.env[ABORTED_COL] = F.coalesce(self.aborted, F.lit(False))
+            ab = F.coalesce(self.aborted, F.lit(False))
+            # clone-before-run semantics (remap.rs:568-587): an aborted
+            # event forwards the ORIGINAL untouched fields to the dropped
+            # port — even statements that ran before the abort must not
+            # leak into it. Rewind every mutation for aborted rows; an
+            # unguarded del becomes a null-out so the rewind can keep the
+            # column for aborted rows.
+            for name, val in list(self.env.items()):
+                orig = (F.col(name)
+                        if (self.known is None or name in self.known)
+                        else F.lit(None))
+                if val is None:
+                    self.env[name] = F.when(ab, orig)
+                else:
+                    self.env[name] = F.when(ab, orig).otherwise(val)
+            self.env[ABORTED_COL] = ab
             self.env[ABORT_MSG_COL] = self.abort_msg
         updates = {k: v for k, v in self.env.items() if v is not None}
         deletes = [k for k, v in self.env.items()

@@ -369,16 +369,23 @@ def syslog_severity_from_pri(pri) -> Column:
 # -- int parsing/formatting (parse_int.cue, format_int.cue) -------------
 
 def parse_int(c, base: int = 10) -> Column:
-    """VRL parse_int: string in ``base`` -> long (NULL on garbage)."""
+    """VRL parse_int: string in ``base`` -> long (NULL on garbage).
+    Signed input supported in base 10 (a digits-only to_number format
+    would reject '-42'); non-10 bases accept unsigned digits, conv-style."""
     if base == 10:
-        return F.try_to_number(F.trim(_c(c)), F.lit("9" * 18)).cast("long")
+        t = F.trim(_c(c))
+        return F.when(t.rlike(r"^[+-]?\d{1,18}$"), t.cast("long"))
     return F.conv(_c(c), base, 10).cast("long")
 
 
 def format_int(c, base: int = 10) -> Column:
     """VRL format_int: integer -> string in ``base`` (lowercase digits,
-    matching DuckDB's to_hex et al.)."""
-    return F.lower(F.conv(_c(c).cast("string"), 10, base))
+    matching DuckDB's to_hex et al.). Negative values render as
+    '-<magnitude>' like VRL — NOT as unsigned 64-bit two's complement
+    (Spark's bare conv would)."""
+    n = _c(c).cast("long")
+    mag = F.lower(F.conv(F.abs(n).cast("string"), 10, base))
+    return F.when(n < 0, F.concat(F.lit("-"), mag)).otherwise(mag)
 
 
 # -- parse_query_string (parse_query_string.cue) ------------------------
@@ -561,8 +568,12 @@ def includes(arr, value) -> Column:
 
 
 def chunks(arr, chunk_size: int) -> Column:
-    """chunks.cue: split an array into chunk_size-long slices."""
+    """chunks.cue: split an array into chunk_size-long slices. Empty
+    input -> empty output (guarded: F.sequence(0, -1) would otherwise
+    step DOWNWARD and fabricate two phantom chunks)."""
     a = _c(arr)
     n_chunks = F.ceil(F.size(a) / chunk_size).cast("int")
-    return F.transform(F.sequence(F.lit(0), n_chunks - 1),
-                       lambda i: F.slice(a, i * chunk_size + 1, chunk_size))
+    chunked = F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                          lambda i: F.slice(a, i * chunk_size + 1, chunk_size))
+    # slice(chunked, 1, 0) = a correctly-typed empty array<array<T>>
+    return F.when(F.size(a) > 0, chunked).otherwise(F.slice(chunked, 1, 0))

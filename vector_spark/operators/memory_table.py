@@ -71,7 +71,14 @@ class MemoryTable:
         ``epoch``: streaming callers pass their foreachBatch epoch_id;
         a replayed epoch (<= the last one stamped into the pointer file)
         is SKIPPED, so crash-replay cannot double-fold accumulating
-        fields like seen_count (round-1 ADVICE defect)."""
+        fields like seen_count (round-1 ADVICE defect).
+
+        OPERATIONAL CONTRACT: epoch_ids restart at 0 when the streaming
+        checkpoint is deleted — merges would then be silently skipped
+        until the counter passes the old stamp. Reprocessing from
+        scratch must pair the checkpoint wipe with ``reset_epochs()``
+        (or a fresh table path), the same pairing the reference requires
+        between its source checkpoint and its in-memory table."""
         ver, last_ep = self._current_state()
         if epoch is not None and epoch <= last_ep:
             return ver  # replay of an already-merged epoch: idempotent no-op
@@ -87,6 +94,18 @@ class MemoryTable:
             f.write(f"{v} {epoch if epoch is not None else last_ep}")
         os.replace(tmp, self._current_file())  # atomic pointer flip
         return v
+
+    def reset_epochs(self) -> None:
+        """Clear the replay-guard epoch stamp (keeps snapshots). Call
+        when the paired streaming checkpoint is deleted so a from-scratch
+        reprocess's epoch 0..N merges are not skipped."""
+        ver, _ = self._current_state()
+        if ver < 0:
+            return
+        tmp = self._current_file() + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(f"{ver} -1")
+        os.replace(tmp, self._current_file())
 
     # -- read side (the lookup role) -----------------------------------
     def lookup(self, df: DataFrame, on: str, as_of: str | None = None,

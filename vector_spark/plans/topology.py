@@ -342,7 +342,8 @@ def top_components(spark: SparkSession, telemetry_dir: str) -> DataFrame:
     from the persisted telemetry table — totals and per-run latest,
     sorted by volume."""
     t = spark.read.parquet(telemetry_dir)
-    latest_run = t.orderBy(F.desc("run_ts")).select("run_id").first()["run_id"]
+    latest = t.orderBy(F.desc("run_ts")).select("run_id").first()
+    latest_run = latest["run_id"] if latest is not None else None
     per = (t.groupBy("component_id", "metric")
            .agg(F.sum("value").alias("total"),
                 F.count("*").alias("n_runs"),

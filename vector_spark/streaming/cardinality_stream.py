@@ -43,8 +43,16 @@ def _card_fn(value_limit: int, action: str):
         keep_rows = []
         tags = []
         for tag in pdf["__tag"]:
+            if tag is None:
+                # events without the tag don't consume the set and pass
+                # straight through in EVERY action (the reference only
+                # limits events that carry the tag key)
+                keep_rows.append(True)
+                if action == "drop_tag":
+                    tags.append(None)
+                continue
             ok = tag in acc_set
-            if not ok and tag is not None and len(acc) < value_limit:
+            if not ok and len(acc) < value_limit:
                 acc.append(tag)
                 acc_set.add(tag)
                 ok = True

@@ -57,10 +57,16 @@ def _multiline_fn(mode: str, joiner: str, gap_secs: int):
                     "n_lines": n, "ended_by": ended_by}
 
         if state.hasTimedOut:
-            out = [emit("timeout")] if n else []
-            state.remove()
-            if out:
-                yield pd.DataFrame(out)
+            if n:
+                # flush the open message, then keep the msg_id sequence
+                # alive for one grace cycle (same fix as
+                # session_reduce.py: remove() here would restart msg_id
+                # at 0 when the key resumes -> duplicate (key, msg_id))
+                state.update((seq + 1, "", -1, -1, 0, False, 0))
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_ms)
+                yield pd.DataFrame([emit("timeout")])
+            else:
+                state.remove()  # empty grace record: cycle done
             return
 
         pdf = pd.concat(list(pdfs)).sort_values("__order")
