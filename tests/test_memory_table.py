@@ -137,6 +137,41 @@ def test_merge_replayed_epoch_is_noop(spark, tmp_path):
     assert t.snapshot().first()["seen_count"] == 5
 
 
+def test_replayed_epoch_lookup_sees_pre_merge_state(spark, tmp_path):
+    """Full replay idempotence: a crash AFTER epoch K's merge stamped the
+    pointer but BEFORE the stream checkpoint committed means epoch K is
+    re-run; its lookup must pin the PRE-merge snapshot so its annotated
+    output equals the original run (not seen_count-inflated)."""
+    import datetime
+
+    from vector_spark.operators.memory_table import MemoryTable
+
+    t = MemoryTable(spark, str(tmp_path / "mt3"), key="k")
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 1, 2)
+    t.merge(spark.createDataFrame([("a", t0, 1)],
+            "k string, updated_at timestamp, seen_count long"), epoch=0)
+    # normal path for epoch 1: lookup the current version (v0)
+    assert t.lookup_version_for_epoch(1) == 0
+    t.merge(spark.createDataFrame([("a", t1, 3)],
+            "k string, updated_at timestamp, seen_count long"), epoch=1)
+    # crash-replay of epoch 1: pointer says last_epoch=1 -> pin v0
+    ver = t.lookup_version_for_epoch(1)
+    assert ver == 0
+    ev = spark.createDataFrame([("e", "a")], "event_id string, k string")
+    assert t.lookup(ev, on="k", version=ver).first()["seen_count"] == 1
+    # post-commit epoch 2 sees the merged state (v1)
+    assert t.lookup_version_for_epoch(2) == 1
+    assert t.lookup(ev, on="k").first()["seen_count"] == 3
+    # first-ever epoch on an empty table: no snapshot to pin
+    empty = MemoryTable(spark, str(tmp_path / "mt4"), key="k")
+    assert empty.lookup_version_for_epoch(0) == -1
+    # replay of the FIRST merged epoch pins "no table yet" (-1)
+    empty.merge(spark.createDataFrame([("a", t0, 1)],
+                "k string, updated_at timestamp, seen_count long"), epoch=0)
+    assert empty.lookup_version_for_epoch(0) == -1
+
+
 def test_reset_epochs_allows_reprocessing(spark, tmp_path):
     """Deleting the streaming checkpoint restarts epoch_ids at 0;
     reset_epochs() clears the replay stamp so those merges apply."""

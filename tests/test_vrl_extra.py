@@ -93,6 +93,12 @@ def test_parse_int_and_format_int(spark):
     signed = spark.createDataFrame([("-42",), ("+7",), ("nope",)], "s string").select(
         parse_int(F.col("s")).alias("v")).collect()
     assert [r["v"] for r in signed] == [-42, 7, None]
+    # full i64 range: 19-digit values parse; 19-digit overflow -> NULL
+    wide = spark.createDataFrame(
+        [("9223372036854775807",), ("-9223372036854775808",),
+         ("9999999999999999999",)], "s string").select(
+        parse_int(F.col("s")).alias("v")).collect()
+    assert [r["v"] for r in wide] == [2**63 - 1, -(2**63), None]
     neg = spark.createDataFrame([(-255,)], "n long").select(
         format_int(F.col("n"), 16).alias("h")).first()
     assert neg["h"] == "-ff"

@@ -64,6 +64,17 @@ def _label(sf_dir: str) -> str:
     return os.path.basename(sf_dir.rstrip("/")) if os.sep in sf_dir else sf_dir
 
 
+def _canon_dir(sf_or_dir: str) -> str:
+    """ONE canonical fixture path for Spark queries AND oracle builders.
+    The BPE trainer / IVF k-means fit are keyed on this path, so a
+    relocated or symlinked fixture dir must resolve identically on both
+    sides or they'd silently train on different corpora. Bare labels
+    ('sf0.01') resolve under TESTDATA_ROOT; paths are realpath'd."""
+    if os.sep not in sf_or_dir:
+        sf_or_dir = os.path.join(TESTDATA_ROOT, sf_or_dir)
+    return os.path.realpath(sf_or_dir)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -719,7 +730,7 @@ def q_text_token_counts_bpe(spark, sf_dir):
     JVM-side approximation."""
     from vector_spark.datapipe.bpe import bpe_token_count_udf
 
-    merges = _bpe_merges(sf_dir)
+    merges = _bpe_merges(_canon_dir(sf_dir))
     d = _documents(spark, sf_dir)
     return d.select(
         "doc_id",
@@ -944,7 +955,7 @@ def q_dedup_embedding_ivf(spark, sf_dir):
     bucket (vs the label stand-in in dedup_embedding_cosine)."""
     return embedding_neardup_pairs(
         _embeddings(spark, sf_dir), min_cosine=0.35,
-        centroids=_ivf_centroids(sf_dir))
+        centroids=_ivf_centroids(_canon_dir(sf_dir)))
 
 
 def q_ann_brute(spark, sf_dir):
@@ -959,7 +970,7 @@ def q_ann_ivf(spark, sf_dir):
     nprobe=2 probe join (datapipe/similarity.py::ivf_topk)."""
     e = _embeddings(spark, sf_dir)
     q = e.where(F.col("vec_id") % 25 == 0)
-    df = ivf_topk(e, q, k=5, centroids=_ivf_centroids(sf_dir), nprobe=2)
+    df = ivf_topk(e, q, k=5, centroids=_ivf_centroids(_canon_dir(sf_dir)), nprobe=2)
     return df.select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
 
 
@@ -1643,12 +1654,12 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
     # bit-for-bit against the reference tokenizer
     from vector_spark.datapipe.bpe import bpe_encode
 
-    _bm = _bpe_merges(os.path.join(TESTDATA_ROOT, sf))
+    _bm = _bpe_merges(_canon_dir(sf))
     _ranks = {tuple(p): i for i, p in enumerate(_bm)}
     _cache: dict = {}
     _vals = ", ".join(
         f"({doc_id}, {len(bpe_encode(text, _ranks, _cache))})"
-        for doc_id, text in _bpe_corpus(os.path.join(TESTDATA_ROOT, sf)))
+        for doc_id, text in _bpe_corpus(_canon_dir(sf)))
     o["text_token_counts_bpe"] = (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
         "CAST(n AS BIGINT) AS n_tokens_bpe_real "
@@ -1660,7 +1671,7 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
     o["dedup_ngram_jaccard"] = dp_oracle.ngram_jaccard_sql(min_shared=2, max_df=10)
     o["dedup_minhash_lsh"] = dp_oracle.minhash_lsh_sql()
     o["dedup_simhash"] = dp_oracle.simhash_sql()
-    _cents = _ivf_centroids(os.path.join(TESTDATA_ROOT, sf))
+    _cents = _ivf_centroids(_canon_dir(sf))
     o["dedup_embedding_cosine"] = dp_oracle.embedding_neardup_sql(min_cosine=0.35)
     o["dedup_embedding_ivf"] = dp_oracle.embedding_neardup_sql(
         min_cosine=0.35, centroids=_cents)

@@ -371,10 +371,12 @@ def syslog_severity_from_pri(pri) -> Column:
 def parse_int(c, base: int = 10) -> Column:
     """VRL parse_int: string in ``base`` -> long (NULL on garbage).
     Signed input supported in base 10 (a digits-only to_number format
-    would reject '-42'); non-10 bases accept unsigned digits, conv-style."""
+    would reject '-42'); non-10 bases accept unsigned digits, conv-style.
+    Up to 19 digits pass the shape guard (full i64 range, e.g.
+    9223372036854775807); try_cast nulls the few 19-digit overflows."""
     if base == 10:
         t = F.trim(_c(c))
-        return F.when(t.rlike(r"^[+-]?\d{1,18}$"), t.cast("long"))
+        return F.when(t.rlike(r"^[+-]?\d{1,19}$"), t.try_cast("long"))
     return F.conv(_c(c), base, 10).cast("long")
 
 

@@ -38,15 +38,22 @@ class MemoryTable:
     def _current_file(self) -> str:
         return os.path.join(self.path, "CURRENT")
 
-    def _current_state(self) -> tuple[int, int]:
-        """(version, last_merged_epoch); epoch -1 when never stamped.
-        Both live in ONE pointer file so the flip stays atomic."""
+    def _current_state(self) -> tuple[int, int, int]:
+        """(version, last_merged_epoch, pre_merge_version); epoch -1 when
+        never stamped. All three live in ONE pointer file so the flip
+        stays atomic. pre_merge_version is the snapshot version that was
+        CURRENT before the last epoch-stamped merge — a crash-replayed
+        epoch looks up as-of that version so its annotations reproduce
+        the original run bit-for-bit (replay idempotence)."""
         try:
             with open(self._current_file()) as f:
                 parts = f.read().split()
-            return int(parts[0]), int(parts[1]) if len(parts) > 1 else -1
+            ver = int(parts[0])
+            ep = int(parts[1]) if len(parts) > 1 else -1
+            prev = int(parts[2]) if len(parts) > 2 else ver
+            return ver, ep, prev
         except FileNotFoundError:
-            return -1, -1
+            return -1, -1, -1
 
     def _current_version(self) -> int:
         return self._current_state()[0]
@@ -57,11 +64,21 @@ class MemoryTable:
     def _snapshot_dir(self, version: int) -> str:
         return os.path.join(self.path, f"v{version:06d}")
 
-    def snapshot(self) -> DataFrame | None:
-        v = self._current_version()
+    def snapshot(self, version: int | None = None) -> DataFrame | None:
+        v = self._current_version() if version is None else version
         if v < 0:
             return None
         return self.spark.read.parquet(self._snapshot_dir(v))
+
+    def lookup_version_for_epoch(self, epoch: int) -> int:
+        """Snapshot version a (possibly replayed) epoch must look up:
+        normally CURRENT, but when ``epoch`` already merged (a crash
+        landed after the merge stamped the pointer and before the stream
+        checkpoint committed), the version recorded BEFORE that merge —
+        so replayed output rows equal the originals instead of seeing
+        their own batch folded into seen_count."""
+        ver, last_ep, prev = self._current_state()
+        return prev if epoch == last_ep else ver
 
     # -- write side (the "sink" role) ----------------------------------
     def merge(self, updates: DataFrame, epoch: int | None = None) -> int:
@@ -79,7 +96,7 @@ class MemoryTable:
         scratch must pair the checkpoint wipe with ``reset_epochs()``
         (or a fresh table path), the same pairing the reference requires
         between its source checkpoint and its in-memory table."""
-        ver, last_ep = self._current_state()
+        ver, last_ep, _ = self._current_state()
         if epoch is not None and epoch <= last_ep:
             return ver  # replay of an already-merged epoch: idempotent no-op
         cur = self.snapshot()
@@ -91,7 +108,8 @@ class MemoryTable:
         latest.coalesce(1).write.mode("overwrite").parquet(self._snapshot_dir(v))
         tmp = self._current_file() + f".tmp-{os.getpid()}"
         with open(tmp, "w") as f:
-            f.write(f"{v} {epoch if epoch is not None else last_ep}")
+            # 3rd field: the pre-merge version, for replayed-epoch lookups
+            f.write(f"{v} {epoch if epoch is not None else last_ep} {ver}")
         os.replace(tmp, self._current_file())  # atomic pointer flip
         return v
 
@@ -99,21 +117,22 @@ class MemoryTable:
         """Clear the replay-guard epoch stamp (keeps snapshots). Call
         when the paired streaming checkpoint is deleted so a from-scratch
         reprocess's epoch 0..N merges are not skipped."""
-        ver, _ = self._current_state()
+        ver, _, _ = self._current_state()
         if ver < 0:
             return
         tmp = self._current_file() + f".tmp-{os.getpid()}"
         with open(tmp, "w") as f:
-            f.write(f"{ver} -1")
+            f.write(f"{ver} -1 {ver}")
         os.replace(tmp, self._current_file())
 
     # -- read side (the lookup role) -----------------------------------
     def lookup(self, df: DataFrame, on: str, as_of: str | None = None,
-               how: str = "left") -> DataFrame:
+               how: str = "left", version: int | None = None) -> DataFrame:
         """Broadcast-join current snapshot onto ``df`` (df.on == table.key);
         TTL-expired entries don't match. ``as_of`` is an event-time column
-        of df for expiry (defaults to now-less semantics: no filter)."""
-        table = self.snapshot()
+        of df for expiry (defaults to now-less semantics: no filter).
+        ``version`` pins a historical snapshot (replayed-epoch lookups)."""
+        table = self.snapshot(version)
         if table is None:
             return df
         renamed = table.withColumnRenamed(self.key, "__mt_key")

@@ -48,17 +48,23 @@ def run_memory_feedback(
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df = batch_df.filter(F.col(key).isNotNull())
-        # 1. lookup: state as of the PREVIOUS batch. With no snapshot yet,
+        # 1. lookup: state as of the PREVIOUS batch. If this epoch is a
+        # crash-replay that already merged (pointer stamped, checkpoint
+        # not yet committed), pin the PRE-merge snapshot version so the
+        # rewritten partition equals the original output (full replay
+        # idempotence, not just merge idempotence). With no snapshot yet,
         # stamp typed NULL annotation columns so every epoch's parquet
         # shares one schema (no reliance on merge-time schema evolution).
-        if table.snapshot() is None:
+        lookup_ver = table.lookup_version_for_epoch(epoch_id)
+        if lookup_ver < 0:
             annotated = batch_df.withColumns({
                 "updated_at": F.lit(None).cast("timestamp"),
                 "first_seen_ts": F.lit(None).cast("timestamp"),
                 "seen_count": F.lit(None).cast("long"),
             })
         else:
-            annotated = table.lookup(batch_df, on=key, as_of=ts_col)
+            annotated = table.lookup(batch_df, on=key, as_of=ts_col,
+                                     version=lookup_ver)
         # epoch-keyed dynamic overwrite: a replayed epoch rewrites only
         # its own partition instead of appending duplicates
         (annotated.withColumn("epoch_id", F.lit(epoch_id))
