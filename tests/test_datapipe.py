@@ -126,6 +126,77 @@ def test_ivf_recall_vs_brute(spark):
     assert max(counts.values()) <= 0.4 * sum(counts.values()), counts
 
 
+def test_cells_for_sizing_policy():
+    """Round-2 verdict item: n_cells must grow with the corpus.
+    - pairs mode: Σ|cell|² (balanced cells ≈ n²/C) stays ~LINEAR in n —
+      the near-dup pair-generation cost bound.
+    - ann mode: C ≈ √n (bounded), the classic probe/scan balance."""
+    import math
+
+    from vector_spark.datapipe.similarity import TARGET_PAIR_CELL, cells_for
+
+    for n in (10**3, 10**5, 10**7, 10**9):
+        c_pairs = cells_for(n, mode="pairs")
+        if c_pairs < 65536:  # below the broadcast-size cap
+            # balanced-cell pair cost n²/C ≤ n * TARGET_PAIR_CELL (linear)
+            assert n * n / c_pairs <= n * TARGET_PAIR_CELL * 1.001, n
+        c_ann = cells_for(n, mode="ann")
+        assert c_ann <= max(4, 2 * math.isqrt(n)), (n, c_ann)
+    # bounds: tiny corpora still get multi-cell plans; huge ones cap
+    assert cells_for(3) == 4
+    assert cells_for(10**12, mode="ann") == 65536
+    assert cells_for(10**12, mode="pairs") == 65536
+
+
+def test_ivf_policy_recall_two_scales(spark):
+    """Policy-sized cells (n_cells=None -> cells_for) at TWO fixture
+    scales: recall@5 vs brute stays useful and monotone in nprobe while
+    the scanned fraction (nprobe/C) drops well below a full scan."""
+    from vector_spark.datapipe.similarity import (
+        cells_for,
+        fit_centroids_from_parquet,
+        ivf_topk,
+    )
+
+    for sf in ("sf0.001", "sf0.1"):
+        path = f"/root/testdata/{sf}/embeddings.parquet"
+        e = spark.read.parquet(path)
+        n = e.count()
+        q = e.where(F.col("vec_id") % 50 == 0)
+        cents = fit_centroids_from_parquet(path, n_cells=None, mode="ann")
+        assert len(cents) == cells_for(n, mode="ann")
+        assert len(cents) > 8, "policy must outgrow the old fixed default"
+        brute = {(r["query_id"], r["vec_id"])
+                 for r in brute_force_topk(e, q, k=5).collect()}
+        recall = {}
+        for np_ in (1, 3):
+            ivf = {(r["query_id"], r["vec_id"])
+                   for r in ivf_topk(e, q, k=5, centroids=cents, nprobe=np_).collect()}
+            recall[np_] = len(ivf & brute) / len(brute)
+        # fixture vectors are weakly clustered, so recall tracks the
+        # scanned fraction; assert the useful floor + monotonicity
+        assert recall[3] >= 0.25, (sf, recall)
+        assert recall[1] <= recall[3], (sf, recall)
+
+
+def test_assign_cells_udf_matches_literal_path(spark):
+    """The Arrow GEMM assignment (large-C scale path) agrees with the
+    literal-codegen expression (small-C oracle path) on the fixture."""
+    from vector_spark.datapipe.similarity import (
+        _nearest_cells_udf,
+        assign_cells,
+        fit_centroids_from_parquet,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    e = spark.read.parquet(path)
+    cents = fit_centroids_from_parquet(path, n_cells=16)
+    lit = assign_cells(e, cents).select("vec_id", "cell")
+    udf = e.withColumn("cell_u", _nearest_cells_udf(cents, 1)(F.col("embedding"))[0])
+    joined = lit.join(udf.select("vec_id", "cell_u"), "vec_id")
+    assert joined.where(F.col("cell") != F.col("cell_u")).count() == 0
+
+
 def test_fingerprint_is_order_sensitive(spark):
     df = spark.createDataFrame([(1, "a b c"), (2, "c b a"), (3, "a b c")],
                                ["doc_id", "text"])

@@ -22,14 +22,51 @@ DuckDB oracles agree exactly; ties broken by vec_id / cell index.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from vector_spark.datapipe.dedup import cosine_expr
 
 DEFAULT_CELLS = 8
 KMEANS_ITERS = 10
 KMEANS_SEED = 42
+#: near-dup mode: target average within-cell population. Σ|cell|² ≈
+#: n * TARGET_PAIR_CELL, i.e. pair-generation cost stays LINEAR in n.
+TARGET_PAIR_CELL = 256
+#: above this count, centroid literals stop being codegen'd into the
+#: expression (JIT method-size limits) and assignment moves to the
+#: Arrow-vectorized numpy path with the centroid matrix broadcast.
+MAX_LITERAL_CELLS = 64
+
+
+def cells_for(n: int, mode: str = "ann", min_cells: int = 4,
+              max_cells: int = 65536) -> int:
+    """IVF coarse-cell sizing policy (round-2 verdict: a fixed
+    DEFAULT_CELLS=8 was fixture-scale only; at 100x data the within-cell
+    work grows quadratically unless C grows with the corpus).
+
+    - mode="ann" (query-time search): C ≈ √n — the classic IVF balance:
+      per-query work = C centroid distances + nprobe*n/C candidate scans,
+      minimized at C = √(n*nprobe). Recall is then tuned with nprobe,
+      not C (on weakly-clustered data recall tracks the scanned fraction
+      nprobe/C, so callers wanting recall R scan ≈ R of the corpus
+      regardless of C — C only sets the granularity of that dial).
+    - mode="pairs" (near-dup pair generation): C ≈ n/TARGET_PAIR_CELL —
+      bounded average cell population, so Σ|cell|² ≈ n*TARGET_PAIR_CELL
+      stays ~linear in n (a √n policy would make it n^1.5).
+
+    Bounds: min keeps tiny fixtures exercising real multi-cell plans;
+    max keeps the broadcast centroid matrix sane (65536 × dim-64 float64
+    ≈ 32 MB, the default broadcast-join threshold ballpark)."""
+    import math
+
+    if mode == "pairs":
+        c = math.ceil(n / TARGET_PAIR_CELL)
+    else:
+        c = round(math.sqrt(max(n, 1)))
+    return max(min_cells, min(max_cells, int(c)))
 
 
 def fit_centroids_numpy(vecs, n_cells: int = DEFAULT_CELLS,
@@ -45,8 +82,14 @@ def fit_centroids_numpy(vecs, n_cells: int = DEFAULT_CELLS,
     rng = np.random.RandomState(seed)
     idx = rng.choice(len(x), size=min(n_cells, len(x)), replace=False)
     cent = x[np.sort(idx)].copy()
+    d = np.empty((len(x), len(cent)))
     for _ in range(n_iter):
-        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        # per-centroid column fill: bit-identical arithmetic to the 3-D
+        # broadcast form (same per-pair subtract/square/axis-sum) without
+        # materializing the n×C×dim tensor (C from cells_for can reach
+        # tens of thousands; the tensor would be tens of GB)
+        for c in range(len(cent)):
+            d[:, c] = ((x - cent[c]) ** 2).sum(axis=1)
         assign = d.argmin(axis=1)  # first-min tie-break
         for c in range(len(cent)):
             members = x[assign == c]
@@ -58,30 +101,39 @@ def fit_centroids_numpy(vecs, n_cells: int = DEFAULT_CELLS,
 
 
 def fit_centroids_from_parquet(path: str, vec_col: str = "embedding",
-                               n_cells: int = DEFAULT_CELLS,
+                               n_cells: int | None = DEFAULT_CELLS,
                                n_iter: int = KMEANS_ITERS,
                                seed: int = KMEANS_SEED,
-                               max_sample: int = 20000) -> list[list[float]]:
+                               max_sample: int = 20000,
+                               mode: str = "ann") -> list[list[float]]:
     """Oracle-parity fit: read the parquet directly (pyarrow, vec_id
     order, first ``max_sample`` rows) so the Spark query and the DuckDB
     oracle builder derive the IDENTICAL centroid literals without
-    needing a SparkSession."""
+    needing a SparkSession. ``n_cells=None`` derives the count from the
+    corpus size via the ``cells_for`` sizing policy."""
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(path, columns=["vec_id", vec_col])
+    if n_cells is None:
+        n_cells = cells_for(tbl.num_rows, mode=mode)
     order = tbl.column("vec_id").to_numpy().argsort(kind="stable")[:max_sample]
     vecs = [tbl.column(vec_col)[int(i)].as_py() for i in order]
     return fit_centroids_numpy(vecs, n_cells, n_iter, seed)
 
 
 def fit_centroids(corpus: DataFrame, vec_col: str = "embedding",
-                  n_cells: int = DEFAULT_CELLS, n_iter: int = KMEANS_ITERS,
+                  n_cells: int | None = DEFAULT_CELLS,
+                  n_iter: int = KMEANS_ITERS,
                   seed: int = KMEANS_SEED,
-                  max_sample: int = 20000) -> list[list[float]]:
+                  max_sample: int = 20000, mode: str = "ann") -> list[list[float]]:
     """Production fit path: bounded deterministic sample via Spark (sorted
     limit — one narrow scan), then the same driver-side Lloyd's. The
     sample is tiny relative to a 100-TB corpus; the expensive part
-    (assignment) stays distributed and JVM-side."""
+    (assignment) stays distributed. ``n_cells=None`` sizes the cell count
+    from the FULL corpus count (one cheap count job, amortized at scale)
+    via ``cells_for`` — the sample only limits the fit, not the policy."""
+    if n_cells is None:
+        n_cells = cells_for(corpus.count(), mode=mode)
     rows = (corpus.select(F.col(vec_col).alias("v"), F.col("vec_id"))
             .sort("vec_id").limit(max_sample).collect())
     return fit_centroids_numpy([r["v"] for r in rows], n_cells, n_iter, seed)
@@ -113,12 +165,40 @@ def probe_cells_expr(vec: str, centroids: list[list[float]], nprobe: int) -> str
             f"s -> s.i)")
 
 
+def _nearest_cells_udf(centroids: list[list[float]], nprobe: int):
+    """Arrow-vectorized cell probe for centroid sets too large to codegen
+    as literals (> MAX_LITERAL_CELLS): the centroid matrix ships once per
+    executor inside the UDF closure and each Arrow batch is one float64
+    GEMM (||x||² - 2x·Cᵀ + ||c||²) + argsort — the sanctioned pandas-UDF
+    path, no per-row Python. Last-ulp note: the GEMM trick can differ
+    from the literal fold on exact distance ties, so the oracle/fixture
+    path (small C) stays on the bit-exact literal expression."""
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cent_sq = (cent * cent).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def _probe(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64)
+        d = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cent.T) + cent_sq[None, :]
+        top = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype("int32")
+        return pd.Series(list(top))
+
+    return _probe
+
+
 def assign_cells(df: DataFrame, centroids: list[list[float]],
                  vec_col: str = "embedding", out_col: str = "cell") -> DataFrame:
-    """IVF assignment: one narrow JVM-side projection per row (the
-    centroid literals ride inside the codegen'd expression — nothing to
-    broadcast or join)."""
-    return df.withColumn(out_col, F.expr(cell_expr(vec_col, centroids)))
+    """IVF assignment: one narrow projection per row. Small centroid sets
+    ride as literals inside the codegen'd expression (bit-exact with the
+    DuckDB oracle); sets beyond MAX_LITERAL_CELLS switch to the
+    Arrow-vectorized GEMM path (JIT method-size limits make literal
+    codegen degrade, and a 100-TB corpus wants thousands of cells)."""
+    if len(centroids) <= MAX_LITERAL_CELLS:
+        return df.withColumn(out_col, F.expr(cell_expr(vec_col, centroids)))
+    probe = _nearest_cells_udf(centroids, nprobe=1)
+    return df.withColumn(out_col, probe(F.col(vec_col))[0])
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
@@ -165,9 +245,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .withColumn("cosine", F.expr(cosine_expr("qvec", "cvec")))
         )
         return _topk(scored, k)
+    if len(centroids) <= MAX_LITERAL_CELLS:
+        probes = F.expr(probe_cells_expr(vec_col, centroids, nprobe))
+    else:
+        probes = _nearest_cells_udf(centroids, nprobe)(F.col(vec_col))
     q = (queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-            F.expr(probe_cells_expr(vec_col, centroids, nprobe)).alias("__cells"))
+            probes.alias("__cells"))
          .withColumn("cell", F.explode("__cells")).drop("__cells"))
     c = assign_cells(
         corpus.select(F.col(id_col), F.col(vec_col).alias("cvec")),
