@@ -132,3 +132,40 @@ def test_sink_counts_match_oracle(spark, ddb, tpath):
         FROM r GROUP BY route
     """)
     assert_df_equal(df, rel, sort_cols=["route"])
+
+
+def test_parse_key_value_quoted_semantics(spark):
+    """parse_key_value quote handling per parse_key_value.cue examples:
+    quoted keys/values (escapes unwound), alternate delimiters, lenient
+    whitespace, standalone keys -> "true", duplicate keys last-win."""
+    from vector_spark.functions.parse import parse_key_value
+
+    def run(line, ps=" ", kv="="):
+        df = spark.createDataFrame([(line,)], ["line"])
+        return df.select(parse_key_value(F.col("line"), ps, kv).alias("m")).first()["m"]
+
+    # cue example 1: quoted values with spaces, '#' in keys
+    m = run('@timestamp="Sun Jan 10 16:47:39 EST 2021" level=info '
+            'msg="Stopping all fetchers" tag#production=stopping_fetchers')
+    assert m["@timestamp"] == "Sun Jan 10 16:47:39 EST 2021"
+    assert m["msg"] == "Stopping all fetchers"
+    assert m["tag#production"] == "stopping_fetchers"
+
+    # cue example 2: comma/colon delimiters, lenient whitespace around ':'
+    m = run('path:"/cart_link", host:store.app.com, fwd: "102.30.171.16", '
+            'dyno: web.1, status:304', ps=",", kv=":")
+    assert m["path"] == "/cart_link"
+    assert m["fwd"] == "102.30.171.16"
+    assert m["dyno"] == "web.1"
+    assert m["status"] == "304"
+
+    # cue example 3: standalone key -> "true"
+    m = run("env:prod,service:backend,region:eu-east1,beta", ps=",", kv=":")
+    assert m["beta"] == "true"
+    assert m["env"] == "prod"
+
+    # escapes, quoted key, empty value, duplicate key (last-win delta)
+    m = run('"quoted key"="a \\"b\\" c\\\\d" x=1 x=2 empty=')
+    assert m["quoted key"] == 'a "b" c\\d'
+    assert m["x"] == "2"
+    assert m["empty"] == ""

@@ -347,17 +347,25 @@ def q_parse_csv_roundtrip(spark, sf_dir):
 
 
 def q_parse_key_value(spark, sf_dir):
-    """encode_logfmt -> parse_key_value round trip over unquoted fields."""
+    """encode_logfmt -> parse_key_value round trip, quote-aware: ``text``
+    values contain spaces / quotes / '=' so they encode double-quoted with
+    escapes, and a trailing standalone key exercises
+    ``accept_standalone_key`` (parse_key_value.cue). Oracle = identity
+    projection, so any quoting/escape asymmetry fails the hash."""
     from vector_spark.functions.parse import parse_key_value
     from vector_spark.sinks.encode import encode_logfmt
 
     t = _transcripts(spark, sf_dir)
-    enc = t.select("conv_id", "turn_idx",
-                   encode_logfmt(t, ["role", "tool", "turn_idx"]).alias("line"))
+    enc = t.select(
+        "conv_id", "turn_idx",
+        F.concat(encode_logfmt(t, ["role", "tool", "turn_idx", "text"]),
+                 F.lit(" beta")).alias("line"))
     m = parse_key_value(F.col("line"))
     return enc.select("conv_id", "turn_idx", m["role"].alias("kv_role"),
                       m["tool"].alias("kv_tool"),
-                      m["turn_idx"].cast("int").alias("kv_turn"))
+                      m["turn_idx"].cast("int").alias("kv_turn"),
+                      m["text"].alias("kv_text"),
+                      m["beta"].alias("kv_flag"))
 
 
 def q_ddsearch_filter(spark, sf_dir):
@@ -1361,7 +1369,8 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
     o["parse_csv_roundtrip"] = f"""SELECT conv_id, turn_idx, role, tool, text
       FROM read_parquet('{tp}')"""
     o["parse_key_value_roundtrip"] = f"""SELECT conv_id, turn_idx,
-             role AS kv_role, tool AS kv_tool, turn_idx AS kv_turn
+             role AS kv_role, tool AS kv_tool, turn_idx AS kv_turn,
+             text AS kv_text, 'true' AS kv_flag
       FROM read_parquet('{tp}')"""
 
     from vector_spark.functions.grok import compile_grok

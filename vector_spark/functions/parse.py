@@ -161,10 +161,48 @@ def parse_csv(text: Column, schema: str) -> Column:
 
 def parse_key_value(text: Column, pair_sep: str = " ", kv_sep: str = "=") -> Column:
     """VRL parse_key_value / parse_logfmt generic form
-    (parse_key_value.cue): ``k=v`` pairs -> map<string,string>. Unquoted
-    values only (quoted-value logfmt goes through parse_logfmt's regex or
-    a grok pattern)."""
-    return F.str_to_map(text, F.lit(pair_sep), F.lit(kv_sep))
+    (parse_key_value.cue): ``k=v`` pairs -> map<string,string>.
+
+    Reference semantics covered:
+    - keys and values may be wrapped in ``"`` and then contain the pair
+      separator / kv separator; ``\\"`` and ``\\\\`` escapes are unwound
+      (parse_key_value.cue: 'Keys and values can be wrapped with "');
+    - lenient whitespace around the kv separator (``whitespace: lenient``
+      default);
+    - standalone keys map to ``"true"`` (``accept_standalone_key``
+      default; stringly-typed here because the return is a string map).
+    Documented deltas: duplicate keys keep the last value (VRL collects
+    an array; Spark map keys are unique), and separators are single-char
+    (covers logfmt and every example in the cue doc — multi-char would
+    need lookahead, which the DuckDB-oracle regex dialect lacks).
+
+    All JVM-side: ONE regexp_extract_all pass tokenizes pairs
+    quote-aware, then per-pair group extraction reuses the \\x01 rewrite
+    trick (same as ``_raw_arr``) inside a ``transform`` lambda.
+    """
+    assert len(pair_sep) == 1 and len(kv_sep) == 1, "single-char separators"
+    import re as _re
+
+    ps, kv = _re.escape(pair_sep), _re.escape(kv_sep)
+    quoted = r'"(?:\\.|[^"\\])*"'
+    # key: quoted or a run that can't contain either separator, a quote,
+    # or whitespace (lenient trimming); value: quoted or sep/space-free.
+    pair_re = (f'({quoted}|[^{ps}{kv}"\\s]+)'
+               f'(\\s*{kv}\\s*)?'
+               f'({quoted}|[^{ps}\\s]*)')
+    pairs = F.regexp_extract_all(text, F.lit(pair_re), F.lit(0))
+
+    def _unquote(c: Column) -> Column:
+        inner = F.regexp_replace(
+            F.substring(c, F.lit(2), F.length(c) - 2), r"\\(.)", "$1")
+        return F.when(c.rlike('(?s)^".*"$'), inner).otherwise(c)
+
+    def _entry(p: Column) -> Column:
+        g = F.split(F.regexp_replace(p, f"^{pair_re}$", "$1\x01$2\x01$3"), _SEP)
+        value = F.when(F.length(g[1]) == 0, F.lit("true")).otherwise(_unquote(g[2]))
+        return F.struct(_unquote(g[0]).alias("key"), value.alias("value"))
+
+    return F.map_from_entries(F.transform(pairs, _entry))
 
 
 def parse_all(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -16,6 +16,10 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # parse_key_value: duplicate keys keep the last value (VRL collects an
+    # array per key; last-win is the closest map semantics — without this
+    # Spark's default EXCEPTION policy aborts the whole job on one dup).
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
 }
 
 

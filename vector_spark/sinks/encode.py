@@ -38,12 +38,15 @@ def encode_text(df: DataFrame, col: str = "text") -> Column:
 def encode_logfmt(df: DataFrame, cols: list[str] | None = None) -> Column:
     """logfmt codec (encoding/format/logfmt via native.rs conventions):
     space-separated ``key=value``; values with spaces/quotes/= get
-    double-quoted with embedded quotes escaped; null fields skipped."""
+    double-quoted with embedded backslashes and quotes escaped (the
+    standard logfmt escape set, so parse_key_value can round-trip any
+    value); null fields skipped."""
     parts = []
     for c in cols or df.columns:
         v = F.col(c).cast("string")
         needs_quote = v.rlike('[ "=]')
-        quoted = F.concat(F.lit('"'), F.regexp_replace(v, '"', '\\\\"'), F.lit('"'))
+        quoted = F.concat(
+            F.lit('"'), F.regexp_replace(v, r'([\\"])', r'\\$1'), F.lit('"'))
         rendered = F.when(needs_quote, quoted).otherwise(v)
         parts.append(F.when(v.isNotNull(), F.concat(F.lit(c + "="), rendered)))
     return F.concat_ws(" ", *parts)
