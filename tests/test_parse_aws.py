@@ -1,0 +1,114 @@
+"""parse_aws_alb_log / parse_aws_vpc_flow_log vs the exact examples in
+the reference's cue docs (parse_aws_alb_log.cue, parse_aws_vpc_flow_log.cue).
+"""
+
+import pyspark.sql.functions as F
+
+from vector_spark.functions.parse_aws import (
+    parse_aws_alb_log,
+    parse_aws_vpc_flow_log,
+)
+
+ALB_LINE = (
+    'http 2018-11-30T22:23:00.186641Z app/my-loadbalancer/50dc6c495c0c9188 '
+    '192.168.131.39:2817 - 0.000 0.001 0.000 200 200 34 366 '
+    '"GET http://www.example.com:80/ HTTP/1.1" "curl/7.46.0" - - '
+    'arn:aws:elasticloadbalancing:us-east-2:123456789012:targetgroup/my-targets/73e2d6bc24d8a067 '
+    '"Root=1-58337364-23a8c76965a2ef7629b185e3" "-" "-" 0 '
+    '2018-11-30T22:22:48.364000Z "forward" "-" "-" "-" "-" "-" "-"')
+
+
+def _one(spark, line, fn, **kw):
+    df = spark.createDataFrame([(line,)], ["text"])
+    cols = fn(F.col("text"), **kw)
+    return df.select([c.alias(k) for k, c in cols.items()]).first()
+
+
+def test_alb_cue_example_strict(spark):
+    r = _one(spark, ALB_LINE, parse_aws_alb_log)
+    assert r["type"] == "http"
+    assert r["timestamp"] == "2018-11-30T22:23:00.186641Z"
+    assert r["elb"] == "app/my-loadbalancer/50dc6c495c0c9188"
+    assert r["client_host"] == "192.168.131.39:2817"
+    assert r["target_host"] is None
+    assert r["request_processing_time"] == 0.0
+    assert r["target_processing_time"] == 0.001
+    assert r["response_processing_time"] == 0.0
+    assert r["elb_status_code"] == "200"  # string per cue
+    assert r["target_status_code"] == "200"
+    assert r["received_bytes"] == 34
+    assert r["sent_bytes"] == 366
+    assert r["request_method"] == "GET"
+    assert r["request_url"] == "http://www.example.com:80/"
+    assert r["request_protocol"] == "HTTP/1.1"
+    assert r["user_agent"] == "curl/7.46.0"
+    assert r["ssl_cipher"] is None
+    assert r["ssl_protocol"] is None
+    assert r["target_group_arn"].endswith("targetgroup/my-targets/73e2d6bc24d8a067")
+    assert r["trace_id"] == "Root=1-58337364-23a8c76965a2ef7629b185e3"
+    assert r["traceability_id"] is None
+    assert r["domain_name"] is None
+    assert r["chosen_cert_arn"] is None
+    assert r["matched_rule_priority"] == "0"
+    assert r["request_creation_time"] == "2018-11-30T22:22:48.364000Z"
+    assert r["actions_executed"] == "forward"
+    assert r["redirect_url"] is None
+    assert r["error_reason"] is None
+    assert r["target_port_list"] == []
+    assert r["target_status_code_list"] == []
+    assert r["classification"] is None
+    assert r["classification_reason"] is None
+
+
+def test_alb_trailing_fields_strictness(spark):
+    trailing = ALB_LINE + ' TID_12345 "-" "-" "-"'
+    # strict (default): trailing fields -> failed parse -> all NULL
+    r = _one(spark, trailing, parse_aws_alb_log)
+    assert r["type"] is None and r["elb"] is None
+    assert r["target_port_list"] is None  # NULL, not [], on failed parse
+    # non-strict: trailing fields ignored (traceability_id stays null
+    # even though a TID token is present — cue example 2)
+    r = _one(spark, trailing, parse_aws_alb_log, strict_mode=False)
+    assert r["type"] == "http"
+    assert r["traceability_id"] is None
+    assert r["actions_executed"] == "forward"
+
+
+def test_vpc_flow_default_format(spark):
+    r = _one(spark, "2 123456789010 eni-1235b8ca123456789 - - - - - - - "
+                    "1431280876 1431280934 - NODATA", parse_aws_vpc_flow_log)
+    assert r["version"] == 2
+    assert r["account_id"] == "123456789010"
+    assert r["interface_id"] == "eni-1235b8ca123456789"
+    assert r["srcaddr"] is None and r["dstaddr"] is None
+    assert r["srcport"] is None and r["protocol"] is None
+    assert r["start"] == 1431280876 and r["end"] == 1431280934
+    assert r["action"] is None
+    assert r["log_status"] == "NODATA"
+
+
+def test_vpc_flow_custom_format_v5(spark):
+    fmt = ("version srcaddr dstaddr srcport dstport protocol start end type "
+           "packets bytes account_id vpc_id subnet_id instance_id interface_id "
+           "region az_id sublocation_type sublocation_id action tcp_flags "
+           "pkt_srcaddr pkt_dstaddr pkt_src_aws_service pkt_dst_aws_service "
+           "traffic_path flow_direction log_status")
+    line = ("5 52.95.128.179 10.0.0.71 80 34210 6 1616729292 1616729349 IPv4 "
+            "14 15044 123456789012 vpc-abcdefab012345678 subnet-aaaaaaaa012345678 "
+            "i-0c50d5961bcb2d47b eni-1235b8ca123456789 ap-southeast-2 apse2-az3 "
+            "- - ACCEPT 19 52.95.128.179 10.0.0.71 S3 - - ingress OK")
+    r = _one(spark, line, parse_aws_vpc_flow_log, format=fmt)
+    assert r["version"] == 5
+    assert r["srcport"] == 80 and r["dstport"] == 34210
+    assert r["protocol"] == 6
+    assert r["bytes"] == 15044 and r["packets"] == 14
+    assert r["tcp_flags"] == 19
+    assert r["traffic_path"] is None
+    assert r["pkt_src_aws_service"] == "S3"
+    assert r["pkt_dst_aws_service"] is None
+    assert r["flow_direction"] == "ingress"
+    assert r["sublocation_type"] is None
+    assert r["log_status"] == "OK"
+    # malformed (wrong arity for the format) -> all NULL
+    r = _one(spark, "1 2 3", parse_aws_vpc_flow_log, format=fmt)
+    assert r["version"] is None and r["log_status"] is None

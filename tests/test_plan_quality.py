@@ -104,3 +104,16 @@ def test_whole_stage_codegen_covers_parse(spark, tpath):
     # no Python evaluation anywhere in the hot parse path
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_aws_parsers_single_tokenizer_pass(spark, tpath):
+    """parse_aws_alb_df / parse_aws_vpc_flow_df stage the token array in
+    its own projection: the ~30 field picks must not re-inline the
+    tokenizer (regexp_extract_all / split runs once per row)."""
+    from vector_spark.functions.parse_aws import (
+        parse_aws_alb_df, parse_aws_vpc_flow_df)
+    df = spark.read.parquet(tpath)
+    alb = _plan(parse_aws_alb_df(df))
+    assert alb.count("regexp_extract_all") == 1
+    vpc = _plan(parse_aws_vpc_flow_df(df))
+    assert vpc.count("split(") == 1

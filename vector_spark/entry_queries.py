@@ -368,6 +368,97 @@ def q_parse_key_value(spark, sf_dir):
                       m["beta"].alias("kv_flag"))
 
 
+def q_parse_aws_alb(spark, sf_dir):
+    """Synthesized ELB access lines (from transcript columns, so every
+    value is oracle-derivable) -> parse_aws_alb_log
+    (functions/parse_aws.py; reference parse_aws_alb_log.cue). Exercises
+    quoted fields with spaces, '-' -> NULL, typed casts, the 3-way
+    request split, and '-' -> empty *_list."""
+    from vector_spark.functions.parse_aws import parse_aws_alb_df
+
+    t = _transcripts(spark, sf_dir)
+    line = F.concat_ws(
+        " ",
+        F.when(F.col("turn_idx") % 2 == 0, "http").otherwise("https"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.concat(F.lit("app/lb-"), "role", F.lit("/50dc6c495c0c9188")),
+        F.concat(F.lit("192.168.0."), F.col("turn_idx") % 250, F.lit(":"),
+                 (F.col("turn_idx") % 1000) + 1024),
+        F.when(F.col("tool").isNull(), F.lit("-"))
+         .otherwise(F.concat(F.lit("10.0.0.5:80"))),
+        F.element_at(F.array(F.lit("0.000"), F.lit("0.001"), F.lit("1.5")),
+                     (F.col("turn_idx") % 3) + 1),
+        F.lit("0.001"), F.lit("0.000"),
+        ((F.col("turn_idx") * 7) % 400 + 100).cast("string"),
+        ((F.col("turn_idx") * 7) % 400 + 100).cast("string"),
+        F.length("text").cast("string"),
+        F.col("turn_idx").cast("string"),
+        F.concat(F.lit('"GET http://example.com:80/'), "conv_id", F.lit("/"),
+                 "turn_idx", F.lit(' HTTP/1.1"')),
+        F.concat(F.lit('"agent ('), "role", F.lit(')"')),
+        F.lit("-"), F.lit("-"),
+        F.lit("arn:aws:elasticloadbalancing:us-east-2:123456789012:targetgroup/tg/1"),
+        F.concat(F.lit('"Root=1-'), "conv_id", F.lit('"')),
+        F.lit('"-"'), F.lit('"-"'),
+        (F.col("turn_idx") % 10).cast("string"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit('"forward"'), F.lit('"-"'), F.lit('"-"'),
+        F.when(F.col("tool").isNull(), F.lit('"-"'))
+         .otherwise(F.lit('"10.0.0.5:80 10.0.0.7:80"')),
+        F.when(F.col("tool").isNull(), F.lit('"-"')).otherwise(F.lit('"200"')),
+        F.lit('"-"'), F.lit('"-"'))
+    enc = t.select("conv_id", "turn_idx", line.alias("text"))
+    parsed = parse_aws_alb_df(enc)  # staged: one tokenizer pass per row
+    return parsed.select(
+        "conv_id", "turn_idx",
+        F.col("type").alias("alb_type"), F.col("timestamp").alias("alb_ts"),
+        "elb", "client_host", "target_host",
+        F.col("request_processing_time").alias("rpt"),
+        F.col("elb_status_code").alias("elb_status"),
+        F.col("received_bytes").alias("recv_bytes"),
+        F.col("sent_bytes").alias("sent_bytes"),
+        F.col("request_method").alias("req_method"),
+        F.col("request_url").alias("req_url"),
+        F.col("request_protocol").alias("req_proto"),
+        "user_agent", "trace_id",
+        F.col("matched_rule_priority").alias("rule_priority"),
+        F.col("actions_executed").alias("actions"),
+        F.array_join(F.col("target_port_list"), " ").alias("tpl_joined"))
+
+
+def q_parse_aws_vpc_flow(spark, sf_dir):
+    """Synthesized VPC Flow v2 lines -> parse_aws_vpc_flow_log
+    (functions/parse_aws.py; reference parse_aws_vpc_flow_log.cue):
+    positional field list, '-' -> NULL, numeric fields cast to long."""
+    from vector_spark.functions.parse_aws import parse_aws_vpc_flow_df
+
+    t = _transcripts(spark, sf_dir)
+    line = F.concat_ws(
+        " ", F.lit("2"), F.lit("123456789010"),
+        F.concat(F.lit("eni-"), "conv_id"),
+        F.when(F.col("tool").isNull(), F.lit("-"))
+         .otherwise(F.concat(F.lit("10.0.1."), F.col("turn_idx") % 250)),
+        F.lit("10.0.0.220"),
+        F.when(F.col("tool").isNull(), F.lit("-"))
+         .otherwise(((F.col("turn_idx") % 1000) + 1024).cast("string")),
+        F.lit("443"), F.lit("6"),
+        (F.col("turn_idx") % 50).cast("string"),
+        F.length("text").cast("string"),
+        F.unix_timestamp("ts").cast("string"),
+        (F.unix_timestamp("ts") + 60).cast("string"),
+        F.when(F.col("role") == "system", F.lit("REJECT")).otherwise(F.lit("ACCEPT")),
+        F.lit("OK"))
+    enc = t.select("conv_id", "turn_idx", line.alias("text"))
+    parsed = parse_aws_vpc_flow_df(enc)  # staged: one split per row
+    return parsed.select(
+        "conv_id", "turn_idx",
+        F.col("version").alias("vpc_version"), "account_id", "interface_id",
+        "srcaddr", "dstaddr", "srcport", "dstport", "protocol", "packets",
+        F.col("bytes").alias("flow_bytes"),
+        F.col("start").alias("flow_start"), F.col("end").alias("flow_end"),
+        "action", "log_status")
+
+
 def q_ddsearch_filter(spark, sf_dir):
     """Datadog-search syntax condition over the parsed stream
     (functions/ddsearch.py; reference src/conditions/datadog_search.rs):
@@ -1026,6 +1117,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode_stub": q_media_decode,
     "tag_cardinality_bloom": q_cardinality_bloom,
     "parse_csv_roundtrip": q_parse_csv_roundtrip,
+    "parse_aws_alb": q_parse_aws_alb,
+    "parse_aws_vpc_flow": q_parse_aws_vpc_flow,
     "ddsearch_filter": q_ddsearch_filter,
     "parse_key_value_roundtrip": q_parse_key_value,
     "remap_dropped_port": q_remap_dropped,
@@ -1368,6 +1461,43 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
     # encode->parse must be lossless for the hashes to match
     o["parse_csv_roundtrip"] = f"""SELECT conv_id, turn_idx, role, tool, text
       FROM read_parquet('{tp}')"""
+    # AWS parse family: the Spark side synthesizes the log line from the
+    # same table columns, so the oracle derives every parsed field
+    # directly — any tokenizer/quoting/typing bug breaks the hash.
+    o["parse_aws_alb"] = f"""SELECT conv_id, turn_idx,
+             CASE WHEN turn_idx % 2 = 0 THEN 'http' ELSE 'https' END AS alb_type,
+             strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS alb_ts,
+             'app/lb-' || role || '/50dc6c495c0c9188' AS elb,
+             '192.168.0.' || (turn_idx % 250) || ':' || ((turn_idx % 1000) + 1024) AS client_host,
+             CASE WHEN tool IS NULL THEN NULL ELSE '10.0.0.5:80' END AS target_host,
+             CASE turn_idx % 3 WHEN 0 THEN 0.0 WHEN 1 THEN 0.001 ELSE 1.5 END AS rpt,
+             CAST((turn_idx * 7) % 400 + 100 AS VARCHAR) AS elb_status,
+             CAST(length(text) AS BIGINT) AS recv_bytes,
+             CAST(turn_idx AS BIGINT) AS sent_bytes,
+             'GET' AS req_method,
+             'http://example.com:80/' || conv_id || '/' || turn_idx AS req_url,
+             'HTTP/1.1' AS req_proto,
+             'agent (' || role || ')' AS user_agent,
+             'Root=1-' || conv_id AS trace_id,
+             CAST(turn_idx % 10 AS VARCHAR) AS rule_priority,
+             'forward' AS actions,
+             CASE WHEN tool IS NULL THEN '' ELSE '10.0.0.5:80 10.0.0.7:80' END AS tpl_joined
+      FROM read_parquet('{tp}')"""
+    o["parse_aws_vpc_flow"] = f"""SELECT conv_id, turn_idx,
+             CAST(2 AS BIGINT) AS vpc_version, '123456789010' AS account_id,
+             'eni-' || conv_id AS interface_id,
+             CASE WHEN tool IS NULL THEN NULL ELSE '10.0.1.' || (turn_idx % 250) END AS srcaddr,
+             '10.0.0.220' AS dstaddr,
+             CASE WHEN tool IS NULL THEN NULL ELSE CAST((turn_idx % 1000) + 1024 AS BIGINT) END AS srcport,
+             CAST(443 AS BIGINT) AS dstport, CAST(6 AS BIGINT) AS protocol,
+             CAST(turn_idx % 50 AS BIGINT) AS packets,
+             CAST(length(text) AS BIGINT) AS flow_bytes,
+             CAST(epoch(ts) AS BIGINT) AS flow_start,
+             CAST(epoch(ts) AS BIGINT) + 60 AS flow_end,
+             CASE WHEN role = 'system' THEN 'REJECT' ELSE 'ACCEPT' END AS action,
+             'OK' AS log_status
+      FROM read_parquet('{tp}')"""
+
     o["parse_key_value_roundtrip"] = f"""SELECT conv_id, turn_idx,
              role AS kv_role, tool AS kv_tool, turn_idx AS kv_turn,
              text AS kv_text, 'true' AS kv_flag

@@ -1,0 +1,174 @@
+"""AWS log-parse family: ``parse_aws_alb_log`` + ``parse_aws_vpc_flow_log``.
+
+Reference semantics (public VRL docs):
+- website/cue/reference/remap/functions/parse_aws_alb_log.cue — ELB
+  access format: space-separated tokens, double-quoted fields may contain
+  spaces (escaped quotes ``\\"`` inside), ``-`` / ``"-"`` means absent,
+  the quoted request field splits into method/url/protocol, the two
+  ``*_list`` fields are space-separated lists ("-" -> empty list), and
+  ``strict_mode: false`` ignores trailing fields newer than the known 29.
+- website/cue/reference/remap/functions/parse_aws_vpc_flow_log.cue — VPC
+  Flow Logs: plain space-separated values against a caller-supplied
+  ``format`` field list (default = the v2 format), ``-`` -> NULL, known
+  numeric fields cast to long.
+
+Both parsers are pure JVM column expressions: ONE regexp_extract_all (or
+split) tokenization per row, then per-field array element picks — the
+same single-pass shape as functions/parse.py. A malformed line yields
+all-NULL fields (forward-original policy, src/transforms/remap.rs:568-587).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ALB token: quoted (with \" escapes) or a bare run. Group 1 = the token.
+_ALB_TOKEN_RE = r'("(?:\\.|[^"\\])*"|\S+)'
+
+# The 29 known ALB fields, in log order. kind: str | double | long |
+# request (quoted "method url protocol") | list (space-separated).
+ALB_FIELDS: list[tuple[str, str]] = [
+    ("type", "str"),
+    ("timestamp", "str"),
+    ("elb", "str"),
+    ("client_host", "str"),
+    ("target_host", "str"),
+    ("request_processing_time", "double"),
+    ("target_processing_time", "double"),
+    ("response_processing_time", "double"),
+    ("elb_status_code", "str"),
+    ("target_status_code", "str"),
+    ("received_bytes", "long"),
+    ("sent_bytes", "long"),
+    ("request", "request"),
+    ("user_agent", "str"),
+    ("ssl_cipher", "str"),
+    ("ssl_protocol", "str"),
+    ("target_group_arn", "str"),
+    ("trace_id", "str"),
+    ("domain_name", "str"),
+    ("chosen_cert_arn", "str"),
+    ("matched_rule_priority", "str"),
+    ("request_creation_time", "str"),
+    ("actions_executed", "str"),
+    ("redirect_url", "str"),
+    ("error_reason", "str"),
+    ("target_port_list", "list"),
+    ("target_status_code_list", "list"),
+    ("classification", "str"),
+    ("classification_reason", "str"),
+]
+
+
+def _unquote(c: Column) -> Column:
+    """Strip one layer of double quotes and unwind \\" / \\\\ escapes."""
+    inner = F.regexp_replace(
+        F.substring(c, F.lit(2), F.length(c) - 2), r"\\(.)", "$1")
+    return F.when(c.rlike('(?s)^".*"$'), inner).otherwise(c)
+
+
+def alb_tokens(text: Column) -> Column:
+    """ONE quote-aware tokenization pass. Stage this in its OWN projection
+    (``withColumn``) before picking fields — otherwise Catalyst re-inlines
+    the regex into every one of the ~30 field picks (the conditional-CSE
+    trap documented in functions/parse.py)."""
+    return F.regexp_extract_all(text, F.lit(_ALB_TOKEN_RE), F.lit(1))
+
+
+def parse_aws_alb_log(text: Column, strict_mode: bool = True) -> dict[str, Column]:
+    """VRL parse_aws_alb_log (parse_aws_alb_log.cue) -> named columns.
+
+    ``strict_mode=True`` requires exactly the 29 known fields; ``False``
+    accepts trailing extra fields and ignores them (both per the cue
+    examples — note the reference leaves ``traceability_id`` null even
+    when a trailing TID token is present, and so do we).
+
+    For the hot path prefer ``parse_aws_alb_df``, which stages the token
+    array so the tokenizer regex runs once per row.
+    """
+    return alb_fields_from_tokens(alb_tokens(text), strict_mode)
+
+
+def alb_fields_from_tokens(toks: Column, strict_mode: bool = True) -> dict[str, Column]:
+    n = len(ALB_FIELDS)
+    ok = (F.size(toks) == n) if strict_mode else (F.size(toks) >= n)
+
+    def raw(i: int) -> Column:
+        # NULL on malformed line; '-' (bare or quoted) -> NULL
+        return F.nullif(_unquote(F.when(ok, toks[i])), F.lit("-"))
+
+    out: dict[str, Column] = {}
+    for i, (name, kind) in enumerate(ALB_FIELDS):
+        v = raw(i)
+        if kind == "str":
+            out[name] = v
+        elif kind == "double":
+            out[name] = v.cast("double")
+        elif kind == "long":
+            out[name] = v.cast("long")
+        elif kind == "request":
+            # '"GET http://host/ HTTP/1.1"' -> three columns
+            req = F.split(v, " ")
+            out["request_method"] = req[0]
+            out["request_url"] = req[1]
+            out["request_protocol"] = req[2]
+        elif kind == "list":
+            # '-' -> [] (cue: empty list, not NULL) when the line parsed
+            out[name] = (
+                F.when(ok & v.isNull(), F.array().cast("array<string>"))
+                .when(ok, F.split(v, " ")))
+    # emitted for cue parity: null in every documented example
+    out["traceability_id"] = F.lit(None).cast("string")
+    return out
+
+
+def parse_aws_alb_df(df, text_col: str = "text", strict_mode: bool = True,
+                     prefix: str = ""):
+    """DataFrame form: tokenization staged in its own projection (one
+    regex pass per row), then cheap element picks."""
+    staged = df.withColumn("__alb_toks", alb_tokens(F.col(text_col)))
+    fields = alb_fields_from_tokens(F.col("__alb_toks"), strict_mode)
+    return staged.withColumns(
+        {prefix + k: v for k, v in fields.items()}).drop("__alb_toks")
+
+
+# --- VPC Flow Logs -------------------------------------------------------
+
+# default format = v2 (parse_aws_vpc_flow_log.cue example 1)
+VPC_FLOW_V2_FORMAT = ("version account_id interface_id srcaddr dstaddr "
+                      "srcport dstport protocol packets bytes start end "
+                      "action log_status")
+
+# fields documented numeric across v2-v5 custom formats
+VPC_FLOW_INT_FIELDS = frozenset({
+    "version", "srcport", "dstport", "protocol", "packets", "bytes",
+    "start", "end", "tcp_flags", "traffic_path",
+})
+
+
+def parse_aws_vpc_flow_log(text: Column, format: str | None = None) -> dict[str, Column]:
+    """VRL parse_aws_vpc_flow_log (parse_aws_vpc_flow_log.cue) -> named
+    columns per the supplied ``format`` field list (default v2). For the
+    hot path prefer ``parse_aws_vpc_flow_df`` (staged split)."""
+    return vpc_fields_from_tokens(F.split(text, " "), format)
+
+
+def vpc_fields_from_tokens(toks: Column, format: str | None = None) -> dict[str, Column]:
+    fields = (format or VPC_FLOW_V2_FORMAT).split()
+    ok = F.size(toks) == len(fields)
+    out: dict[str, Column] = {}
+    for i, name in enumerate(fields):
+        v = F.nullif(F.when(ok, toks[i]), F.lit("-"))
+        out[name] = v.cast("long") if name in VPC_FLOW_INT_FIELDS else v
+    return out
+
+
+def parse_aws_vpc_flow_df(df, text_col: str = "text",
+                          format: str | None = None, prefix: str = ""):
+    """DataFrame form: the split is staged in its own projection so the
+    (possibly expensive) line expression evaluates once per row."""
+    staged = df.withColumn("__vpc_toks", F.split(F.col(text_col), " "))
+    fields = vpc_fields_from_tokens(F.col("__vpc_toks"), format)
+    return staged.withColumns(
+        {prefix + k: v for k, v in fields.items()}).drop("__vpc_toks")
