@@ -39,7 +39,9 @@ def test_numeric_and_range(df):
 
 def test_wildcard(df):
     assert _ids(df, "host:web*") == [1, 2]
-    assert _ids(df, "host:api-?") == [4]
+    assert _ids(df, "host:*-1") == [1, 4]     # suffix
+    assert _ids(df, "host:w*-1") == [1]       # mid-token
+    assert _ids(df, "host:*e*-*") == [1, 2]   # multiple wildcards
 
 
 def test_bare_term_searches_default_field(df):
@@ -78,3 +80,69 @@ def test_parse_errors(df):
         compile_ddsearch("(role:assistant")
     with pytest.raises(ValueError):
         compile_ddsearch("")
+
+
+def test_facet_attribute_syntax(df):
+    # @attr strips to the column (reference Field::Attribute)
+    assert _ids(df, "@role:assistant") == [1, 4]
+    assert _ids(df, "@status:200") == [2]
+    assert _ids(df, "-@role:assistant") == [2, 3]
+    assert _ids(df, "NOT @status:500") == [2, 3, 4]
+    assert _ids(df, "@host:*b-1") == [1]  # anchored wildcard_regex form
+
+
+def test_unbounded_ranges(df):
+    # reference corpus: [* TO 50], [50 TO *], [* TO *]
+    assert _ids(df, "status:[* TO 301]") == [2, 4]
+    assert _ids(df, "status:[500 TO *]") == [1, 3]
+    assert _ids(df, "status:[* TO *]") == [1, 2, 3, 4]  # exists
+    assert _ids(df, "host:[* TO *]") == [1, 2, 4]       # NULL not matched
+    assert _ids(df, "-status:[* TO 301]") == [1, 3]
+    assert _ids(df, "NOT status:[500 TO *]") == [2, 4]
+
+
+def test_bare_wildcards_word_boundary(df):
+    # bare terms use word_regex on the default field (\b wrap, * -> .*)
+    assert _ids(df, "err*") == [1, 3]
+    assert _ids(df, "*out") == [3]
+    assert _ids(df, "d*sk") == [1]
+    assert _ids(df, "-err*") == [2, 4]
+    # word boundary: 'error' as a word, not substring-anywhere
+    assert _ids(df, "warn") == []          # 'warning' is not the word 'warn'
+    assert _ids(df, "warn*") == [4]
+
+
+def test_escaped_specials(df, spark):
+    d2 = spark.createDataFrame(
+        [(1, "x", "va lue"), (2, "x", "va*lue"), (3, "x", "value")],
+        ["id", "text", "v"])
+    ids = lambda q: sorted(r["id"] for r in d2.filter(compile_ddsearch(q)).collect())
+    assert ids(r"v:va\ lue") == [1]    # escaped space -> literal
+    assert ids(r"v:va\*lue") == [2]    # escaped star -> literal *
+    assert ids("v:va*lue") == [1, 2, 3]  # unescaped star -> wildcard
+
+
+def test_tags_array_membership(spark):
+    d = spark.createDataFrame(
+        [(1, ["a:test", "env:prod"]), (2, ["b:test"]), (3, [])],
+        ["id", "tags"])
+    ids = lambda q: sorted(r["id"] for r in d.filter(compile_ddsearch(q)).collect())
+    assert ids("tags:a\\:test") == [1]
+    assert ids("tags:env\\:prod") == [1]
+    assert ids("-tags:a\\:test") == [2, 3]
+
+
+def test_nested_not_parens(df):
+    assert _ids(df, "NOT (role:assistant OR role:tool)") == [2]
+    assert _ids(df, "NOT (NOT role:assistant)") == [1, 4]
+    assert _ids(df, "-(status:[500 TO *] OR role:user)") == [4]
+    assert _ids(df, "role:assistant AND NOT (status:>400 OR host:api*)") == []
+    assert _ids(df, "(error OR warn*) AND -role:tool") == [1, 4]
+
+
+def test_bare_range_default_field(spark):
+    d = spark.createDataFrame([(1, "5"), (2, "50"), (3, "500")], ["id", "text"])
+    ids = lambda q: sorted(r["id"] for r in d.filter(compile_ddsearch(q)).collect())
+    assert ids("[1 TO 10]") == [1]
+    assert ids("[* TO *]") == [1, 2, 3]
+    assert ids("-[1 TO 10]") == [2, 3]

@@ -462,11 +462,12 @@ def q_parse_aws_vpc_flow(spark, sf_dir):
 def q_ddsearch_filter(spark, sf_dir):
     """Datadog-search syntax condition over the parsed stream
     (functions/ddsearch.py; reference src/conditions/datadog_search.rs):
-    5xx statuses, error-level logfmt lines, or freeform error text."""
+    5xx statuses (unbounded-range conjunction), error-level logfmt lines,
+    or the word 'error' in the raw text (word_regex semantics)."""
     from vector_spark.functions.ddsearch import compile_ddsearch
 
     cond = compile_ddsearch(
-        'status_any:[500 TO 599] OR level:error OR "error:"')
+        '(status_any:[500 TO *] AND status_any:[* TO 599]) OR level:error OR error')
     return (_parsed(spark, sf_dir).filter(cond)
             .select("conv_id", "turn_idx", "kind", "status_any", "level"))
 
@@ -1454,8 +1455,8 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
     o["ddsearch_filter"] = f"""WITH {P}
       SELECT conv_id, turn_idx, kind, status_any, level
       FROM parsed
-      WHERE (status_any BETWEEN 500 AND 599) OR (level = 'error')
-         OR contains(text, 'error:')"""
+      WHERE (status_any >= 500 AND status_any <= 599) OR (level = 'error')
+         OR regexp_matches(text, '\\berror\\b')"""
 
     # round-trip codec queries: the oracle is the identity projection, so
     # encode->parse must be lossless for the hashes to match

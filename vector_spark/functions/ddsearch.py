@@ -3,19 +3,31 @@
 Reference: the ``datadog_search`` condition type
 (src/conditions/datadog_search.rs, 1662 LoC; registered in
 src/conditions/mod.rs:26-51) lets route/filter transforms use Datadog's
-log-search syntax instead of VRL. This module compiles the load-bearing
-subset to a native Column expression — the predicate runs JVM-side in
-whole-stage codegen exactly like a hand-written ``F.col(...)`` chain.
+log-search syntax instead of VRL. This module compiles the grammar to a
+native Column expression — the predicate runs JVM-side in whole-stage
+codegen exactly like a hand-written ``F.col(...)`` chain.
 
-Supported syntax (public Datadog log-search conventions):
-- ``field:value``           equality (string compare after cast)
-- ``field:va*``             wildcard -> LIKE
-- ``field:"a phrase"``      quoted exact value
-- ``field:[a TO b]``        inclusive range
-- ``field:>n  >=n  <n <=n`` numeric comparison
+Supported syntax (mirroring the reference's test corpus,
+src/conditions/datadog_search.rs:640-1145):
+- bare terms / phrases / wildcards -> WORD-BOUNDARY match on the default
+  field (``word_regex`` semantics: regex-escape, unescaped ``*`` -> ``.*``,
+  wrapped in ``\\b``), e.g. ``bla``, ``"quoted phrase"``, ``*b*la*``
+- ``@attr:value``   facet equality (``@`` strips to the column; dotted
+  paths reach struct fields); wildcards use the ANCHORED
+  ``wildcard_regex`` form
+- ``field:value``   column equality (delta: the reference treats
+  unreserved unprefixed fields as tag-array lookups against ``ddtags``;
+  a table-backed engine maps them to columns)
+- ``tags:a``        membership in an array column (array_match semantics)
+- ``field:[a TO b]`` inclusive range; ``*`` bounds supported
+  (``[* TO 50]``, ``[50 TO *]``, ``[* TO *]`` -> exists); bare ranges
+  apply to the default field
+- ``field:>n  >=n  <n  <=n`` comparisons
 - ``_exists_:field`` / ``_missing_:field``
-- ``a AND b``, ``a OR b``, ``NOT a``, ``-field:value``, parentheses
-- a bare term searches the default field (``text``) as a substring
+- ``a AND b``, ``a OR b``, ``NOT a``, ``-term`` (incl. ``-[1 TO 10]``,
+  ``-*bla``, ``-(...)``), parentheses, implicit AND
+- ``\\``-escapes in unquoted values: ``va\\ lue``, ``va\\*lue``,
+  ``va\\(lue``, ``va\\&&lue``, ... match the literal character
 
 Unknown fields fail at Catalyst analysis (same boot-time failure shape as
 the reference's config validation).
@@ -28,19 +40,49 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# one escape-aware value atom: quoted | range | run with \x escapes
+_VALUE = r'(?:"[^"]*"|\[[^\]]+\]|(?:\\.|[^\s()])+)'
+
 _TOKEN = re.compile(
-    r"""\s*(?:
+    rf"""\s*(?:
         (?P<lparen>\() | (?P<rparen>\)) |
         (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b) |
-        (?P<neg>-(?=\w)) |
-        (?P<term>[\w@._]+:(?:"[^"]*"|\[[^\]]+\]|[^\s()]+)) |
-        (?P<bare>"[^"]*"|[^\s()]+)
+        (?P<neg>-(?=\S)) |
+        (?P<term>[\w@._]+:{_VALUE}) |
+        (?P<bare>{_VALUE})
     )""",
     re.VERBOSE,
 )
 
 _RANGE = re.compile(r"^\[\s*(\S+)\s+TO\s+(\S+)\s*\]$", re.IGNORECASE)
 _CMP = re.compile(r"^(>=|<=|>|<)(.+)$")
+
+
+def _unescape(raw: str) -> str:
+    """``\\x`` -> literal x (the reference's escaped specials)."""
+    return re.sub(r"\\(.)", r"\1", raw)
+
+
+def _translate(raw: str, star: str) -> tuple[str, bool]:
+    """Datadog value -> regex body: escape everything except unescaped
+    ``*`` which becomes ``star``. Returns (pattern, had_wildcard) —
+    mirrors vrl's datadog_filter::regex word/wildcard builders."""
+    out: list[str] = []
+    had = False
+    i = 0
+    while i < len(raw):
+        c = raw[i]
+        if c == "\\" and i + 1 < len(raw):
+            out.append(re.escape(raw[i + 1]))
+            i += 2
+        elif c == "*":
+            out.append(star)
+            had = True
+            i += 1
+        else:
+            out.append(re.escape(c))
+            i += 1
+    return "".join(out), had
 
 
 def _lit(raw: str):
@@ -50,24 +92,58 @@ def _lit(raw: str):
         try:
             return float(raw)
         except ValueError:
-            return raw
+            return _unescape(raw)
+
+
+def _resolve(field: str) -> Column:
+    """``@attr`` facets strip the marker; dotted paths reach into
+    structs. Other names are plain columns (tag-array delta above)."""
+    return F.col(field[1:]) if field.startswith("@") else F.col(field)
+
+
+def _range_predicate(col: Column, lo_raw: str, hi_raw: str) -> Column:
+    unbounded_lo, unbounded_hi = lo_raw == "*", hi_raw == "*"
+    if unbounded_lo and unbounded_hi:
+        return col.isNotNull()  # [* TO *] == exists (reference corpus)
+    if unbounded_lo:
+        return col <= _lit(hi_raw)
+    if unbounded_hi:
+        return col >= _lit(lo_raw)
+    return col.between(_lit(lo_raw), _lit(hi_raw))
+
+
+def _word_match(col: Column, raw: str) -> Column:
+    """Default-field match: word_regex semantics (``\\b`` wrap, ``*`` ->
+    ``.*``). Quoted phrases go through the same translation."""
+    if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
+        raw = raw[1:-1]
+    m = _RANGE.match(raw)
+    if m:
+        return _range_predicate(col, m.group(1), m.group(2))
+    body, _ = _translate(raw, star=".*")
+    return col.rlike(rf"\b{body}\b")
 
 
 def _field_predicate(field: str, raw: str) -> Column:
-    col = F.col(field)
+    col = _resolve(field)
     if raw.startswith('"') and raw.endswith('"'):
         return col.cast("string") == raw[1:-1]
     m = _RANGE.match(raw)
     if m:
-        lo, hi = _lit(m.group(1)), _lit(m.group(2))
-        return col.between(lo, hi)
+        return _range_predicate(col, m.group(1), m.group(2))
     m = _CMP.match(raw)
     if m:
         op, val = m.group(1), _lit(m.group(2))
         return {"<": col < val, "<=": col <= val,
                 ">": col > val, ">=": col >= val}[op]
-    if "*" in raw or "?" in raw:
-        return col.cast("string").like(raw.replace("*", "%").replace("?", "_"))
+    body, had_wildcard = _translate(raw, star=".*")
+    if had_wildcard:
+        # facet/column wildcard: ANCHORED (wildcard_regex), not LIKE —
+        # regex escaping keeps literal % / _ / \* in values exact
+        return col.cast("string").rlike(rf"^{body}$")
+    if field == "tags":
+        # literal "tags" field matches by array membership
+        return F.array_contains(col, _unescape(raw))
     v = _lit(raw)
     if isinstance(v, str):
         return col.cast("string") == v
@@ -139,14 +215,13 @@ class _Parser:
             self.next()
             field, _, raw = val.partition(":")
             if field == "_exists_":
-                return F.col(raw).isNotNull()
+                return _resolve(raw).isNotNull()
             if field == "_missing_":
-                return F.col(raw).isNull()
+                return _resolve(raw).isNull()
             return _field_predicate(field, raw)
         if kind == "bare":
             self.next()
-            needle = val[1:-1] if val.startswith('"') else val
-            return F.col(self.default_field).contains(needle)
+            return _word_match(F.col(self.default_field), val)
         raise ValueError(f"unexpected token {kind}:{val!r}")
 
 
