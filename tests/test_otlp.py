@@ -1,0 +1,79 @@
+"""OTLP logs decode (functions/otlp.py; reference
+lib/codecs/src/decoding/format/otlp.rs): the OTLP/JSON logs shape per the
+public OTLP spec examples.
+"""
+
+import json
+
+import pyspark.sql.functions as F
+
+from vector_spark.functions.otlp import parse_otlp_logs
+
+ENVELOPE = {
+    "resourceLogs": [{
+        "resource": {"attributes": [
+            {"key": "service.name", "value": {"stringValue": "my.service"}}]},
+        "scopeLogs": [{
+            "scope": {"name": "my.library", "version": "1.0.0"},
+            "logRecords": [{
+                "timeUnixNano": "1544712660300000000",
+                "observedTimeUnixNano": "1544712660300000000",
+                "severityNumber": 10,
+                "severityText": "Information",
+                "traceId": "5b8efff798038103d269b633813fc60c",
+                "spanId": "eee19b7ec3c1b174",
+                "body": {"stringValue": "Example log record"},
+                "attributes": [
+                    {"key": "string.attribute", "value": {"stringValue": "some string"}},
+                    {"key": "int.attribute", "value": {"intValue": "10"}},
+                    {"key": "double.attribute", "value": {"doubleValue": 637.704}},
+                    {"key": "boolean.attribute", "value": {"boolValue": True}},
+                ],
+            }],
+        }],
+    }],
+}
+
+
+def test_otlp_spec_example(spark):
+    df = spark.createDataFrame([(json.dumps(ENVELOPE),)], ["text"])
+    r = parse_otlp_logs(df).first()
+    assert r["resource_attrs"]["service.name"] == "my.service"
+    assert r["scope_name"] == "my.library"
+    assert r["scope_version"] == "1.0.0"
+    assert r["time_unix_nano"] == 1544712660300000000
+    assert str(r["otlp_ts"]).startswith("2018-12-13 14:51:00")
+    assert r["severity_number"] == 10
+    assert r["severity_text"] == "Information"
+    assert r["body"] == "Example log record"
+    assert r["log_attrs"]["string.attribute"] == "some string"
+    assert r["log_attrs"]["int.attribute"] == "10"
+    assert r["log_attrs"]["double.attribute"] == "637.704"
+    assert r["log_attrs"]["boolean.attribute"] == "true"
+    assert r["trace_id"] == "5b8efff798038103d269b633813fc60c"
+    assert r["span_id"] == "eee19b7ec3c1b174"
+
+
+def test_otlp_multi_record_fanout_and_bad_lines(spark):
+    two = {
+        "resourceLogs": [{
+            "resource": {"attributes": []},
+            "scopeLogs": [
+                {"scope": {"name": "a"},
+                 "logRecords": [{"severityNumber": 1, "body": {"intValue": "7"}},
+                                {"severityNumber": 2}]},
+                {"scope": {"name": "b"},
+                 "logRecords": [{"severityNumber": 3,
+                                 "body": {"doubleValue": 1.5}}]},
+            ],
+        }],
+    }
+    df = spark.createDataFrame(
+        [(json.dumps(two),), ("not json at all",)], ["text"])
+    rows = parse_otlp_logs(df).orderBy("severity_number").collect()
+    # 3 records from the envelope; the bad line yields none
+    assert [r["severity_number"] for r in rows] == [1, 2, 3]
+    assert [r["scope_name"] for r in rows] == ["a", "a", "b"]
+    assert rows[0]["body"] == "7"       # intValue branch
+    assert rows[1]["body"] is None      # absent body
+    assert rows[2]["body"] == "1.5"     # doubleValue branch

@@ -459,6 +459,46 @@ def q_parse_aws_vpc_flow(spark, sf_dir):
         "action", "log_status")
 
 
+def q_parse_otlp(spark, sf_dir):
+    """encode_otlp_logs -> parse_otlp_logs round trip (functions/otlp.py;
+    reference lib/codecs/src/decoding/format/otlp.rs): each turn encodes
+    an ExportLogsServiceRequest envelope with TWO logRecords, so the
+    three-level explode (resourceLogs -> scopeLogs -> logRecords) and the
+    AnyValue/KeyValue mapping are both exercised. Oracle = the 2-row
+    expansion derived straight from the table columns."""
+    from vector_spark.functions.otlp import (
+        encode_otlp_logs, int_value, kv, log_record, parse_otlp_logs,
+        str_value,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    epoch = F.unix_timestamp("ts")
+    attrs = [kv("conv_id", str_value(F.col("conv_id"))),
+             kv("turn", int_value(F.col("turn_idx")))]
+    rec0 = log_record(epoch * F.lit(1_000_000_000), 9, "Info",
+                      str_value(F.col("text")), attrs,
+                      trace_id=F.md5("conv_id"),
+                      span_id=F.substring(F.md5("conv_id"), 1, 16))
+    rec1 = log_record((epoch + 1) * F.lit(1_000_000_000), 17, "Error",
+                      str_value(F.concat(F.lit("err "), "conv_id")), attrs,
+                      trace_id=F.md5("conv_id"),
+                      span_id=F.substring(F.md5("conv_id"), 1, 16))
+    line = encode_otlp_logs(
+        [kv("service.name", str_value(F.col("role")))], "vector-spark",
+        [rec0, rec1])
+    enc = t.select(line.alias("text"))
+    p = parse_otlp_logs(enc)
+    return p.select(
+        F.col("resource_attrs")["service.name"].alias("service"),
+        "scope_name", "otlp_ts",
+        F.col("severity_number").alias("sev_num"),
+        F.col("severity_text").alias("sev_text"),
+        "body",
+        F.col("log_attrs")["conv_id"].alias("attr_conv"),
+        F.col("log_attrs")["turn"].cast("long").alias("attr_turn"),
+        "trace_id", "span_id")
+
+
 def q_ddsearch_filter(spark, sf_dir):
     """Datadog-search syntax condition over the parsed stream
     (functions/ddsearch.py; reference src/conditions/datadog_search.rs):
@@ -1120,6 +1160,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_csv_roundtrip": q_parse_csv_roundtrip,
     "parse_aws_alb": q_parse_aws_alb,
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,
+    "parse_otlp": q_parse_otlp,
     "ddsearch_filter": q_ddsearch_filter,
     "parse_key_value_roundtrip": q_parse_key_value,
     "remap_dropped_port": q_remap_dropped,
@@ -1498,6 +1539,18 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
              CASE WHEN role = 'system' THEN 'REJECT' ELSE 'ACCEPT' END AS action,
              'OK' AS log_status
       FROM read_parquet('{tp}')"""
+
+    o["parse_otlp"] = f"""SELECT role AS service,
+             'vector-spark' AS scope_name,
+             ts + i * INTERVAL 1 SECOND AS otlp_ts,
+             CASE i WHEN 0 THEN 9 ELSE 17 END AS sev_num,
+             CASE i WHEN 0 THEN 'Info' ELSE 'Error' END AS sev_text,
+             CASE i WHEN 0 THEN text ELSE 'err ' || conv_id END AS body,
+             conv_id AS attr_conv, CAST(turn_idx AS BIGINT) AS attr_turn,
+             md5(conv_id) AS trace_id,
+             substring(md5(conv_id), 1, 16) AS span_id
+      FROM read_parquet('{tp}')
+      CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1) _r"""
 
     o["parse_key_value_roundtrip"] = f"""SELECT conv_id, turn_idx,
              role AS kv_role, tool AS kv_tool, turn_idx AS kv_turn,

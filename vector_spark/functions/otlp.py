@@ -1,0 +1,145 @@
+"""OTLP logs decode/encode (JSON encoding of the OTLP protobuf shape).
+
+Reference: lib/codecs/src/decoding/format/otlp.rs — the ``otlp`` decoder
+turns ExportLogsServiceRequest frames into events carrying the
+``resourceLogs`` envelope; the encoder is its inverse ("round-trip
+compatibility", otlp.rs:100-104). The wire protobuf needs jars we gate
+elsewhere (functions/codecs.py avro note); the OTLP/JSON mapping of the
+same message (public OTLP spec) is fully expressible JVM-side:
+``from_json`` with the explicit envelope schema, then a three-level
+``explode`` (resourceLogs -> scopeLogs -> logRecords) — each explode is
+a narrow generate node, no shuffle at any scale.
+
+AnyValue fields (``body``, attribute values) coalesce across
+stringValue/intValue/doubleValue/boolValue — intValue is a STRING in the
+OTLP JSON encoding (protobuf JSON maps int64 to string).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_ANYVALUE = ("struct<stringValue:string,intValue:string,"
+             "doubleValue:double,boolValue:boolean>")
+_KVLIST = f"array<struct<key:string,value:{_ANYVALUE}>>"
+
+OTLP_LOGS_SCHEMA = (
+    "resourceLogs array<struct<"
+    f"resource:struct<attributes:{_KVLIST}>,"
+    "scopeLogs:array<struct<"
+    "scope:struct<name:string,version:string>,"
+    "logRecords:array<struct<"
+    "timeUnixNano:string,observedTimeUnixNano:string,"
+    "severityNumber:int,severityText:string,"
+    f"body:{_ANYVALUE},attributes:{_KVLIST},"
+    "droppedAttributesCount:int,flags:int,"
+    "traceId:string,spanId:string>>>>>>"
+)
+
+
+def anyvalue_str(v: Column) -> Column:
+    """OTLP AnyValue -> string (the typed branches coalesced)."""
+    return F.coalesce(
+        v["stringValue"], v["intValue"],
+        v["doubleValue"].cast("string"), v["boolValue"].cast("string"))
+
+
+def attrs_map(attrs: Column) -> Column:
+    """OTLP KeyValue list -> map<string,string>."""
+    entries = F.transform(
+        attrs, lambda kv: F.struct(kv["key"].alias("key"),
+                                   anyvalue_str(kv["value"]).alias("value")))
+    return F.map_from_entries(entries)
+
+
+def parse_otlp_logs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Decode OTLP/JSON log envelopes: one input line (an
+    ExportLogsServiceRequest) -> one output row per logRecord, with the
+    resource/scope context carried down. Lines that don't parse produce
+    no records (the decoder errors per-frame in the reference; a
+    dead-letter branch can ``filter(col('__otlp').isNull())`` upstream).
+    """
+    env = df.withColumn("__otlp", F.from_json(F.col(text_col), OTLP_LOGS_SCHEMA))
+    rl = env.select("*", F.explode("__otlp.resourceLogs").alias("__rl"))
+    sl = rl.select("*", F.explode("__rl.scopeLogs").alias("__sl"))
+    rec = sl.select("*", F.explode("__sl.logRecords").alias("__rec"))
+    nanos = F.col("__rec.timeUnixNano").cast("long")
+    out = rec.withColumns({
+        "resource_attrs": attrs_map(F.col("__rl.resource.attributes")),
+        "scope_name": F.col("__sl.scope.name"),
+        "scope_version": F.col("__sl.scope.version"),
+        "time_unix_nano": nanos,
+        "otlp_ts": F.timestamp_seconds(
+            F.floor(nanos / F.lit(1_000_000_000)).cast("long")),
+        "severity_number": F.col("__rec.severityNumber"),
+        "severity_text": F.col("__rec.severityText"),
+        "body": anyvalue_str(F.col("__rec.body")),
+        "log_attrs": attrs_map(F.col("__rec.attributes")),
+        "trace_id": F.col("__rec.traceId"),
+        "span_id": F.col("__rec.spanId"),
+    })
+    return out.drop("__otlp", "__rl", "__sl", "__rec")
+
+
+def _anyvalue(s: Column, i: Column, d: Column, b: Column) -> Column:
+    """Full AnyValue struct — every builder emits the same 4-field type
+    (arrays need homogeneous structs); to_json's ignoreNullFields drops
+    the unused branches, so the JSON matches the protobuf-JSON shape."""
+    return F.struct(s.alias("stringValue"), i.alias("intValue"),
+                    d.alias("doubleValue"), b.alias("boolValue"))
+
+
+def _null(t: str) -> Column:
+    # built lazily: F.lit needs an active SparkContext at call time
+    return F.lit(None).cast(t)
+
+
+def str_value(c: Column) -> Column:
+    """AnyValue holding a stringValue."""
+    return _anyvalue(c.cast("string"), _null("string"), _null("double"),
+                     _null("boolean"))
+
+
+def int_value(c: Column) -> Column:
+    """AnyValue holding an intValue (string per protobuf-JSON spec)."""
+    return _anyvalue(_null("string"), c.cast("string"), _null("double"),
+                     _null("boolean"))
+
+
+def kv(key: str, value: Column) -> Column:
+    return F.struct(F.lit(key).alias("key"), value.alias("value"))
+
+
+def encode_otlp_logs(resource_attrs: list[Column], scope_name: str,
+                     records: list[Column]) -> Column:
+    """Encode one ExportLogsServiceRequest JSON line (the decoder's
+    inverse, otlp.rs round-trip note). ``records`` are structs from
+    ``log_record``; null fields are omitted like protobuf-JSON."""
+    envelope = F.struct(F.array(F.struct(
+        F.struct(F.array(*resource_attrs).alias("attributes")).alias("resource"),
+        F.array(F.struct(
+            F.struct(F.lit(scope_name).alias("name"),
+                     F.lit("1.0").alias("version")).alias("scope"),
+            F.array(*records).alias("logRecords"),
+        )).alias("scopeLogs"),
+    )).alias("resourceLogs"))
+    return F.to_json(envelope, {"ignoreNullFields": "true"})
+
+
+def log_record(ts_nanos: Column, severity_number: int, severity_text: str,
+               body: Column, attributes: list[Column],
+               trace_id: Column | None = None,
+               span_id: Column | None = None) -> Column:
+    fields = [
+        ts_nanos.cast("string").alias("timeUnixNano"),
+        F.lit(severity_number).alias("severityNumber"),
+        F.lit(severity_text).alias("severityText"),
+        body.alias("body"),
+        F.array(*attributes).alias("attributes"),
+    ]
+    if trace_id is not None:
+        fields.append(trace_id.alias("traceId"))
+    if span_id is not None:
+        fields.append(span_id.alias("spanId"))
+    return F.struct(*fields)
