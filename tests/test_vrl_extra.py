@@ -198,3 +198,23 @@ def test_casing_and_array_functions(spark):
     # chunks of an empty array is [] (not two phantom empty chunks)
     empty = df.select(vrl.chunks(F.expr("array()"), 2).alias("e")).first()
     assert empty["e"] == []
+
+
+def test_parse_user_agent_uap_core_expectations(spark):
+    """Every UA_CASES row (real-world UA strings with public uap-core
+    expected families) parses to its expected 5-tuple."""
+    from vector_spark.entry_queries import UA_CASES
+    from vector_spark.functions.vrl import parse_user_agent
+
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(UA_CASES)], ["i", "ua"])
+    cols = parse_user_agent(F.col("ua"))
+    rows = {r["i"]: r for r in df.select(
+        "i", *[cols[k].alias(k) for k in
+               ("browser_family", "browser_version", "os_family",
+                "os_version", "device_family")]).collect()}
+    for i, (ua, fam, ver, osf, osv, dev) in enumerate(UA_CASES):
+        r = rows[i]
+        got = (r["browser_family"], r["browser_version"], r["os_family"],
+               r["os_version"], r["device_family"])
+        assert got == (fam, ver, osf, osv, dev), f"{ua!r}: {got}"

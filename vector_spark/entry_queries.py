@@ -499,6 +499,34 @@ def q_parse_otlp(spark, sf_dir):
         "trace_id", "span_id")
 
 
+def q_memory_feedback(spark, sf_dir):
+    """One deterministic batch round of the memory enrichment table
+    (operators/memory_table.py; reference src/enrichment_tables/memory/
+    config.rs:27): epoch-0 merge writes per-tool counts over EVEN turns,
+    epoch-1 merges counts over ALL turns with a later updated_at (so
+    latest-per-key must win), a replayed epoch-0 merge must no-op, and
+    the final broadcast lookup annotates every turn. If merge ordering,
+    the replay guard, or the upsert semantics drift, the counts diverge
+    from the oracle's all-turns aggregate."""
+    import tempfile
+
+    from vector_spark.operators.memory_table import MemoryTable
+
+    t = _transcripts(spark, sf_dir)
+    mt = MemoryTable(spark, tempfile.mkdtemp(prefix="vs-mt-"), key="tool")
+    batch_even = (t.filter(F.col("tool").isNotNull() & (F.col("turn_idx") % 2 == 0))
+                  .groupBy("tool").agg(F.count("*").alias("tool_seen_count"))
+                  .withColumn("updated_at", F.timestamp_seconds(F.lit(1_000_000))))
+    batch_all = (t.filter(F.col("tool").isNotNull())
+                 .groupBy("tool").agg(F.count("*").alias("tool_seen_count"))
+                 .withColumn("updated_at", F.timestamp_seconds(F.lit(2_000_000))))
+    mt.merge(batch_even, epoch=0)
+    mt.merge(batch_all, epoch=1)
+    mt.merge(batch_even, epoch=0)  # crash-replay: must be an idempotent no-op
+    out = mt.lookup(t, on="tool")
+    return out.select("conv_id", "turn_idx", "tool", "tool_seen_count")
+
+
 def q_ddsearch_filter(spark, sf_dir):
     """Datadog-search syntax condition over the parsed stream
     (functions/ddsearch.py; reference src/conditions/datadog_search.rs):
@@ -665,12 +693,39 @@ def q_parse_cef(spark, sf_dir):
                       "name", "severity", "ext_src", "ext_act", "ext_cnt")
 
 
-_UA_BY_ROLE = {
-    "user": "Mozilla/5.0 (Windows NT 10.0) Chrome/120.0.0.0 Safari/537.36",
-    "assistant": "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) Version/17.0 Safari/605.1.15",
-    "system": "curl/8.5.0",
-    "tool": "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
-}
+# (ua, browser_family, browser_version, os_family, os_version,
+#  device_family) — expectations follow public uap-core family naming;
+# ONE table drives both the Spark query (UA picked by turn_idx % N) and
+# the oracle's literal CASE, so parser drift fails the hash.
+UA_CASES = [
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+     "Chrome", "120.0.0.0", "Windows", "10", "Other"),
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Safari/605.1.15",
+     "Safari", "17.0", "Mac OS X", "10.15.7", "Mac"),
+    ("curl/8.5.0", "curl", "8.5.0", "Other", None, "Other"),
+    ("Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+     "Firefox", "121.0", "Linux", None, "Other"),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+     "Edge", "120.0.2210.91", "Windows", "10", "Other"),
+    ("Mozilla/5.0 (Linux; Android 14; SM-S918B) AppleWebKit/537.36 (KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36",
+     "Samsung Internet", "23.0", "Android", "14", "Generic Smartphone"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/120.0.6099.119 Mobile/15E148 Safari/604.1",
+     "Chrome Mobile iOS", "120.0.6099.119", "iOS", "17.1", "iPhone"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1",
+     "Mobile Safari", "17.1", "iOS", "17.1", "iPhone"),
+    ("Mozilla/5.0 (Windows NT 6.1; WOW64; Trident/7.0; rv:11.0) like Gecko",
+     "IE", "11.0", "Windows", "7", "Other"),
+    ("Mozilla/5.0 (Linux; Android 13; Pixel 7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.43 Mobile Safari/537.36",
+     "Chrome Mobile", "120.0.6099.43", "Android", "13", "Generic Smartphone"),
+    ("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+     "Googlebot", "2.1", "Other", None, "Spider"),
+    ("python-requests/2.31.0",
+     "Python Requests", "2.31.0", "Other", None, "Other"),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 OPR/106.0.0.0",
+     "Opera", "106.0.0.0", "Windows", "10", "Other"),
+    ("Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.203 Safari/537.36",
+     "Chrome", "120.0.6099.203", "Chrome OS", "14541.0.0", "Other"),
+]
 
 
 def q_enrich_geoip(spark, sf_dir):
@@ -698,10 +753,8 @@ def q_vrl_ip_ua_funcs(spark, sf_dir):
 
     p = (_parsed(spark, sf_dir).where(F.col("kind") == "apache_common")
          .select("conv_id", "turn_idx", "role", "ip"))
-    ua = F.lit(None).cast("string")
-    for role, s in _UA_BY_ROLE.items():
-        ua = F.when(F.col("role") == role, s).otherwise(ua)
-    p = p.withColumn("ua", ua)
+    ua_arr = F.array(*[F.lit(c[0]) for c in UA_CASES])
+    p = p.withColumn("ua", F.element_at(ua_arr, (F.col("turn_idx") % len(UA_CASES)) + 1))
     cols = parse_user_agent(F.col("ua"))
     return p.select(
         "conv_id", "turn_idx", "ip",
@@ -709,7 +762,9 @@ def q_vrl_ip_ua_funcs(spark, sf_dir):
         ip_cidr_contains("10.0.128.0/18", F.col("ip")).alias("in_ap_south"),
         cols["browser_family"].alias("browser_family"),
         cols["browser_version"].alias("browser_version"),
-        cols["os_family"].alias("os_family"))
+        cols["os_family"].alias("os_family"),
+        cols["os_version"].alias("os_version"),
+        cols["device_family"].alias("device_family"))
 
 
 def q_vrl_misc_funcs(spark, sf_dir):
@@ -1161,6 +1216,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_aws_alb": q_parse_aws_alb,
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,
     "parse_otlp": q_parse_otlp,
+    "memory_feedback_lookup": q_memory_feedback,
     "ddsearch_filter": q_ddsearch_filter,
     "parse_key_value_roundtrip": q_parse_key_value,
     "remap_dropped_port": q_remap_dropped,
@@ -1540,6 +1596,13 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
              'OK' AS log_status
       FROM read_parquet('{tp}')"""
 
+    o["memory_feedback_lookup"] = f"""SELECT t.conv_id, t.turn_idx, t.tool,
+             m.tool_seen_count
+      FROM read_parquet('{tp}') t
+      LEFT JOIN (SELECT tool, count(*) AS tool_seen_count
+                 FROM read_parquet('{tp}') WHERE tool IS NOT NULL
+                 GROUP BY tool) m ON t.tool = m.tool"""
+
     o["parse_otlp"] = f"""SELECT role AS service,
              'vector-spark' AS scope_name,
              ts + i * INTERVAL 1 SECOND AS otlp_ts,
@@ -1702,26 +1765,25 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
       FROM p2 LEFT JOIN g2 ON p2.ipn BETWEEN g2.net_start AND g2.net_end"""
 
     _ap_lo, _ap_hi = _cidr_range("10.0.128.0/18")
-    _ua_brow = " ".join(
-        f"WHEN role = '{r}' THEN '{fam}'" for r, fam in
-        [("user", "Chrome"), ("assistant", "Safari"),
-         ("system", "curl"), ("tool", "Firefox")])
-    _ua_ver = " ".join(
-        f"WHEN role = '{r}' THEN '{v}'" for r, v in
-        [("user", "120.0.0.0"), ("assistant", "17.0"),
-         ("system", "8.5.0"), ("tool", "121.0")])
-    _ua_os = " ".join(
-        f"WHEN role = '{r}' THEN '{osf}'" for r, osf in
-        [("user", "Windows"), ("assistant", "macOS"),
-         ("system", "Other"), ("tool", "Linux")])
+    # uap-core expectations: ONE python table (UA_CASES) drives the Spark
+    # UA pick and these literal CASEs — the oracle never re-runs a regex
+    def _ua_case(idx: int) -> str:
+        def lit(v):
+            return "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+        n = len(UA_CASES)
+        return "CASE turn_idx % " + str(n) + " " + " ".join(
+            f"WHEN {i} THEN {lit(c[idx])}" for i, c in enumerate(UA_CASES)) + " END"
+
     _o3 = "string_split(ip, '.')"
     o["vrl_ip_ua_funcs"] = f"""WITH {P}
       SELECT conv_id, turn_idx, ip,
              ({_o3})[1] || '.' || ({_o3})[2] || '.' || ({_o3})[3] || '.0' AS subnet24,
              {_ip_aton_sql('ip')} BETWEEN {_ap_lo} AND {_ap_hi} AS in_ap_south,
-             CASE {_ua_brow} END AS browser_family,
-             CASE {_ua_ver} END AS browser_version,
-             CASE {_ua_os} END AS os_family
+             {_ua_case(1)} AS browser_family,
+             {_ua_case(2)} AS browser_version,
+             {_ua_case(3)} AS os_family,
+             {_ua_case(4)} AS os_version,
+             {_ua_case(5)} AS device_family
       FROM parsed WHERE kind = 'apache_common'"""
 
     from vector_spark.functions.vrl import SYSLOG_FACILITIES, SYSLOG_LEVELS

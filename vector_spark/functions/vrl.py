@@ -290,29 +290,80 @@ def ip_subnet(ip, prefix: int) -> Column:
     return ip_ntoa(ip_aton(ip).bitwiseAND(F.lit(mask)))
 
 
-# -- parse_user_agent (parse_user_agent.cue, "fast" mode subset) --------
+# -- parse_user_agent (parse_user_agent.cue; uap-core-aligned tables) ---
+#
+# First-match regex tables in uap-core's priority order (the ordering IS
+# the semantics: OPR/Samsung/Edge outrank Chrome because their UAs embed
+# a Chrome token; CriOS/FxiOS outrank Safari; "Mobile" variants outrank
+# their desktop families; MSIE before Trident/rv). Families and the
+# Windows NT marketing-version map follow the public uap-core
+# regexes.yaml conventions. Delta vs the reference's bundled database:
+# model-level device strings collapse to coarse families, and the long
+# tail of exotic browsers falls through to 'Other'.
 
 _UA_BROWSERS = [
-    ("Firefox", r"Firefox/(\d+[\d.]*)"),
+    ("Opera Mobile", r"Opera Mobi.*Version/(\d+[\d.]*)"),
+    ("Opera", r"OPR/(\d+[\d.]*)"),
+    ("Opera", r"Opera[ /](\d+[\d.]*)"),
+    ("Samsung Internet", r"SamsungBrowser/(\d+[\d.]*)"),
+    ("UC Browser", r"UCBrowser/(\d+[\d.]*)"),
+    ("Yandex Browser", r"YaBrowser/(\d+[\d.]*)"),
+    ("Vivaldi", r"Vivaldi/(\d+[\d.]*)"),
     ("Edge", r"Edg(?:e|A|iOS)?/(\d+[\d.]*)"),
+    ("Firefox iOS", r"FxiOS/(\d+[\d.]*)"),
+    ("Chrome Mobile iOS", r"CriOS/(\d+[\d.]*)"),
+    ("Firefox Mobile", r"(?:Android|Mobile).*Firefox/(\d+[\d.]*)"),
+    ("Firefox", r"Firefox/(\d+[\d.]*)"),
+    ("Chrome Mobile", r"Chrome/(\d+[\d.]*).*Mobile"),
     ("Chrome", r"Chrome/(\d+[\d.]*)"),
+    ("Mobile Safari", r"Version/(\d+[\d.]*).*Mobile.*Safari"),
     ("Safari", r"Version/(\d+[\d.]*).*Safari"),
+    ("IE", r"MSIE (\d+[\d.]*)"),
+    ("IE", r"Trident/.*rv:(\d+[\d.]*)"),
+    ("Googlebot", r"Googlebot/(\d+[\d.]*)"),
+    ("bingbot", r"bingbot/(\d+[\d.]*)"),
     ("curl", r"curl/(\d+[\d.]*)"),
+    ("Wget", r"[Ww]get/(\d+[\d.]*)"),
+    ("Python Requests", r"python-requests/(\d+[\d.]*)"),
+    ("Go-http-client", r"Go-http-client/(\d+[\d.]*)"),
+    ("okhttp", r"okhttp/(\d+[\d.]*)"),
 ]
+
+# (family, pattern-with-version-group); '' group -> NULL version
 _UA_OS = [
-    ("Windows", r"Windows NT [\d.]+"),
-    ("Android", r"Android [\d.]+"),
-    ("iOS", r"(?:iPhone|iPad).*OS [\d_]+"),
-    ("macOS", r"Mac OS X [\d_.]+"),
-    ("Linux", r"Linux"),
+    ("Windows Phone", r"Windows Phone (?:OS )?(\d+[\d.]*)"),
+    ("Windows", r"Windows NT (\d+[\d.]*)"),
+    ("Chrome OS", r"CrOS [^ ]+ (\d+[\d.]*)"),
+    ("Android", r"Android (\d+[\d.]*)"),
+    ("iOS", r"(?:iPhone|iPad|iPod).* OS (\d+[_\d]*)"),
+    ("Mac OS X", r"Mac OS X (\d+[_.\d]*)"),
+    ("Ubuntu", r"(Ubuntu)"),
+    ("Fedora", r"(Fedora)"),
+    ("Linux", r"(Linux)"),
+]
+
+# uap-core's NT kernel -> marketing version table
+_WINDOWS_NT_VERSIONS = {
+    "10.0": "10", "6.3": "8.1", "6.2": "8", "6.1": "7",
+    "6.0": "Vista", "5.2": "XP", "5.1": "XP", "5.0": "2000",
+}
+
+_UA_DEVICES = [
+    ("Spider", r"Googlebot|bingbot|Slurp|DuckDuckBot|Baiduspider|crawler"),
+    ("iPhone", r"iPhone"),
+    ("iPad", r"iPad"),
+    ("Generic Smartphone", r"Android.*Mobile|Windows Phone|Opera Mobi"),
+    ("Generic Tablet", r"Android"),
+    ("Mac", r"Macintosh"),
 ]
 
 
 def parse_user_agent(c) -> dict[str, Column]:
-    """VRL parse_user_agent "fast" mode analogue: family + version by
-    first-match regex tables (deterministic, JVM-side; the reference's
-    full uap-core database is out of scope — documented delta). Returns
-    browser_family / browser_version / os_family columns."""
+    """VRL parse_user_agent analogue over the uap-core-aligned tables
+    above. Returns browser_family / browser_version / os_family /
+    os_version / device_family columns (the cue doc's enriched mode
+    shape). Entirely JVM-side: first-match CASE chains of rlike +
+    regexp_extract, no Python in the hot path."""
     ua = _c(c)
     fam = None
     ver = None
@@ -321,14 +372,33 @@ def parse_user_agent(c) -> dict[str, Column]:
         v = F.nullif(F.regexp_extract(ua, pat, 1), F.lit(""))
         fam = F.when(hit, name) if fam is None else fam.when(hit, name)
         ver = F.when(hit, v) if ver is None else ver.when(hit, v)
-    osf = None
+    osf, osv = None, None
     for name, pat in _UA_OS:
         hit = ua.rlike(pat)
+        raw_v = F.nullif(F.regexp_extract(ua, pat, 1), F.lit(""))
+        if name == "Windows":
+            mapped = None
+            for nt, mk in _WINDOWS_NT_VERSIONS.items():
+                cnd = raw_v == nt
+                mapped = (F.when(cnd, mk) if mapped is None
+                          else mapped.when(cnd, mk))
+            v = mapped.otherwise(raw_v)
+        elif name in ("Ubuntu", "Fedora", "Linux"):
+            v = F.lit(None).cast("string")
+        else:
+            v = F.replace(raw_v, F.lit("_"), F.lit("."))
         osf = F.when(hit, name) if osf is None else osf.when(hit, name)
+        osv = F.when(hit, v) if osv is None else osv.when(hit, v)
+    dev = None
+    for name, pat in _UA_DEVICES:
+        hit = ua.rlike(pat)
+        dev = F.when(hit, name) if dev is None else dev.when(hit, name)
     return {
         "browser_family": fam.otherwise(F.lit("Other")),
         "browser_version": ver,
         "os_family": osf.otherwise(F.lit("Other")),
+        "os_version": osv,
+        "device_family": dev.otherwise(F.lit("Other")),
     }
 
 
