@@ -218,3 +218,78 @@ def test_parse_user_agent_uap_core_expectations(spark):
         got = (r["browser_family"], r["browser_version"], r["os_family"],
                r["os_version"], r["device_family"])
         assert got == (fam, ver, osf, osv, dev), f"{ua!r}: {got}"
+
+
+def test_seahash_cue_vectors():
+    """seahash.cue examples: exact u64->i64 wrapped values."""
+    from vector_spark.functions.codecs import seahash_py
+    assert seahash_py(b"foobar") == 5348458858952426560
+    assert seahash_py(b"bar") == -2796170501982571315
+
+
+def test_punycode_cue_examples(spark):
+    from vector_spark.functions.codecs import decode_punycode, encode_punycode
+    df = spark.createDataFrame(
+        [("www.café.com", "www.xn--caf-dma.com"),
+         ("www.CAFé.com", "www.xn--caf-dma.com"),  # lowercased per cue
+         ("www.cafe.com", "www.cafe.com")],
+        ["plain", "expected"])
+    rows = df.select("plain", "expected",
+                     encode_punycode(F.col("plain")).alias("enc")).collect()
+    for r in rows:
+        assert r["enc"] == r["expected"], r["plain"]
+    dec = df.select(decode_punycode(F.col("expected")).alias("d")).collect()
+    assert {r["d"] for r in dec} == {"www.café.com", "www.cafe.com"}
+
+
+def test_base16_cue_example(spark):
+    from vector_spark.functions.vrl import decode_base16, encode_base16
+    df = spark.createDataFrame([("some string",)], ["v"])
+    r = df.select(encode_base16(F.col("v")).alias("e"),
+                  decode_base16(encode_base16(F.col("v"))).alias("d")).first()
+    assert r["e"] == "736f6d6520737472696e67"  # encode_base16.cue
+    assert r["d"] == "some string"
+
+
+def test_parse_linux_authorization_cue_example(spark):
+    from vector_spark.functions.parse_presets import parse_linux_authorization
+    df = spark.createDataFrame(
+        [("Mar 23 01:49:58 localhost sshd[1111]: Accepted publickey for "
+          "eng from 10.1.1.1 port 8888 ssh2: RSA SHA256:foobar",)], ["text"])
+    r = parse_linux_authorization(df, year=2026).first()
+    assert r["appname"] == "sshd"
+    assert r["hostname"] == "localhost"
+    assert r["procid"] == 1111
+    assert r["message"].startswith("Accepted publickey for eng")
+    assert str(r["auth_ts"]) == "2026-03-23 01:49:58"
+
+
+def test_parse_cloudwatch_cue_example(spark):
+    import json
+    from vector_spark.functions.parse_presets import parse_aws_cloudwatch
+    msg = {
+        "messageType": "DATA_MESSAGE", "owner": "111111111111",
+        "logGroup": "test", "logStream": "test",
+        "subscriptionFilters": ["Destination"],
+        "logEvents": [{
+            "id": "35683658089614582423604394983260738922885519999578275840",
+            "timestamp": 1600110569039, "message": "{\"bytes\":26780}"}],
+    }
+    df = spark.createDataFrame([(json.dumps(msg),)], ["text"])
+    r = parse_aws_cloudwatch(df, explode_events=True).first()
+    assert r["message_type"] == "DATA_MESSAGE"
+    assert r["owner"] == "111111111111"
+    assert r["log_group"] == "test" and r["log_stream"] == "test"
+    assert r["subscription_filters"] == ["Destination"]
+    assert r["event_id"].startswith("3568365808961458")
+    assert str(r["event_ts"]) == "2020-09-14 19:09:29.039000"
+    assert r["event_message"] == "{\"bytes\":26780}"
+
+
+def test_gated_codecs_raise_actionable():
+    import pytest as _pytest
+    from vector_spark.functions.codecs import (
+        encode_lz4_gated, encode_snappy_gated, encode_zstd_gated)
+    for fn in (encode_zstd_gated, encode_snappy_gated, encode_lz4_gated):
+        with _pytest.raises(ImportError, match="install on the cluster"):
+            fn()

@@ -527,6 +527,79 @@ def q_memory_feedback(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "tool", "tool_seen_count")
 
 
+def q_parse_linux_auth(spark, sf_dir):
+    """parse_linux_authorization (functions/parse_presets.py;
+    parse_linux_authorization.cue): RFC3164-sans-pri auth lines through
+    the grok compiler, plus year-anchored timestamp assembly."""
+    from vector_spark.functions.parse_presets import parse_linux_authorization
+
+    t = _transcripts(spark, sf_dir)
+    line = F.concat(
+        F.lit("Mar 23 01:49:58 host"), (F.col("turn_idx") % 20).cast("string"),
+        F.lit(" sshd["), (1000 + F.col("turn_idx") % 9000).cast("string"),
+        F.lit("]: Accepted publickey for "), "role",
+        F.lit(" from 10.0.0.1 port 22 ssh2"))
+    enc = t.select("conv_id", "turn_idx", "role", line.alias("text"))
+    p = parse_linux_authorization(enc, year=2026)
+    return p.select(
+        "conv_id", "turn_idx", "hostname",
+        F.col("appname").alias("auth_appname"),
+        F.col("procid").alias("auth_procid"),
+        F.col("message").alias("auth_message"), "auth_ts")
+
+
+def q_parse_cloudwatch(spark, sf_dir):
+    """parse_aws_cloudwatch_log_subscription_message
+    (functions/parse_presets.py; the cue's subscription envelope):
+    from_json + per-logEvent fan-out with epoch-millis timestamps."""
+    from vector_spark.functions.parse_presets import parse_aws_cloudwatch
+
+    t = _transcripts(spark, sf_dir)
+    ems = F.unix_timestamp("ts") * 1000
+    ev = lambda i, msg, ts_ms: F.struct(
+        F.concat("conv_id", F.lit("-"), "turn_idx", F.lit(f"-{i}")).alias("id"),
+        ts_ms.alias("timestamp"), msg.alias("message"))
+    envelope = F.struct(
+        F.lit("DATA_MESSAGE").alias("messageType"),
+        F.lit("123456789012").alias("owner"),
+        F.concat(F.lit("lg-"), "role").alias("logGroup"),
+        F.col("conv_id").alias("logStream"),
+        F.array(F.lit("Destination")).alias("subscriptionFilters"),
+        F.array(
+            ev(0, F.col("text"), ems),
+            ev(1, F.concat(F.lit("follow "), "conv_id"), ems + 500),
+        ).alias("logEvents"))
+    enc = t.select(F.to_json(envelope).alias("text"))
+    p = parse_aws_cloudwatch(enc, explode_events=True)
+    return p.select(
+        "message_type", "owner", "log_group", "log_stream",
+        F.element_at("subscription_filters", 1).alias("filter0"),
+        "event_id", "event_ts", "event_message")
+
+
+def q_vrl_codec_hash_funcs(spark, sf_dir):
+    """VRL base16 / seahash / punycode (functions/vrl.py,
+    functions/codecs.py): hex + punycode round-trips are identity-checked
+    against the source columns; seahash's per-role values check against
+    literals from the same implementation the cue-vector unit test
+    anchors (tests/test_vrl_extra.py)."""
+    from vector_spark.functions.codecs import (
+        decode_punycode, encode_punycode, seahash,
+    )
+    from vector_spark.functions.vrl import decode_base16, encode_base16
+
+    t = _transcripts(spark, sf_dir)
+    domain = F.concat(F.lit("www."), "role", F.lit("é.example"))
+    out = t.select(
+        "conv_id", "turn_idx",
+        encode_base16(F.col("text")).alias("hex_text"),
+        decode_base16(encode_base16(F.col("text"))).alias("text_roundtrip"),
+        seahash(F.col("role")).alias("role_seahash"),
+        encode_punycode(domain).alias("puny"),
+        decode_punycode(encode_punycode(domain)).alias("puny_roundtrip"))
+    return out
+
+
 def q_ddsearch_filter(spark, sf_dir):
     """Datadog-search syntax condition over the parsed stream
     (functions/ddsearch.py; reference src/conditions/datadog_search.rs):
@@ -1217,6 +1290,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,
     "parse_otlp": q_parse_otlp,
     "memory_feedback_lookup": q_memory_feedback,
+    "parse_linux_auth": q_parse_linux_auth,
+    "parse_cloudwatch": q_parse_cloudwatch,
+    "vrl_codec_hash_funcs": q_vrl_codec_hash_funcs,
     "ddsearch_filter": q_ddsearch_filter,
     "parse_key_value_roundtrip": q_parse_key_value,
     "remap_dropped_port": q_remap_dropped,
@@ -1594,6 +1670,43 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
              CAST(epoch(ts) AS BIGINT) + 60 AS flow_end,
              CASE WHEN role = 'system' THEN 'REJECT' ELSE 'ACCEPT' END AS action,
              'OK' AS log_status
+      FROM read_parquet('{tp}')"""
+
+    o["parse_linux_auth"] = f"""SELECT conv_id, turn_idx,
+             'host' || (turn_idx % 20) AS hostname,
+             'sshd' AS auth_appname,
+             CAST(1000 + turn_idx % 9000 AS INTEGER) AS auth_procid,
+             'Accepted publickey for ' || role || ' from 10.0.0.1 port 22 ssh2' AS auth_message,
+             TIMESTAMP '2026-03-23 01:49:58' AS auth_ts
+      FROM read_parquet('{tp}')"""
+
+    o["parse_cloudwatch"] = f"""SELECT 'DATA_MESSAGE' AS message_type,
+             '123456789012' AS owner, 'lg-' || role AS log_group,
+             conv_id AS log_stream, 'Destination' AS filter0,
+             conv_id || '-' || turn_idx || '-' || i AS event_id,
+             ts + i * INTERVAL 500 MILLISECOND AS event_ts,
+             CASE i WHEN 0 THEN text ELSE 'follow ' || conv_id END AS event_message
+      FROM read_parquet('{tp}')
+      CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1) _r"""
+
+    # seahash/punycode literals come from the SAME implementation the
+    # cue-vector unit tests anchor (tests/test_vrl_extra.py) — the oracle
+    # check then catches pipeline/UDF drift, the unit test catches
+    # algorithm drift.
+    from vector_spark.functions.codecs import _puny_encode_label, seahash_py
+
+    _roles = ["user", "assistant", "tool", "system"]
+    _sea = ("CASE role " + " ".join(
+        f"WHEN '{r}' THEN {seahash_py(r.encode())}" for r in _roles) + " END")
+    _puny = ("CASE role " + " ".join(
+        "WHEN '{}' THEN '{}'".format(
+            r, ".".join(_puny_encode_label(x)
+                        for x in f"www.{r}é.example".split(".")))
+        for r in _roles) + " END")
+    o["vrl_codec_hash_funcs"] = f"""SELECT conv_id, turn_idx,
+             lower(hex(text)) AS hex_text, text AS text_roundtrip,
+             {_sea} AS role_seahash, {_puny} AS puny,
+             'www.' || role || 'é.example' AS puny_roundtrip
       FROM read_parquet('{tp}')"""
 
     o["memory_feedback_lookup"] = f"""SELECT t.conv_id, t.turn_idx, t.tool,

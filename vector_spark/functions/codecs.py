@@ -23,7 +23,7 @@ import zlib as _zlib
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BinaryType, StringType
+from pyspark.sql.types import BinaryType, LongType, StringType
 
 
 def _gzip_bytes(data: bytes) -> bytes:
@@ -58,3 +58,102 @@ def encode_zlib(s: pd.Series) -> pd.Series:
 def decode_zlib(b: pd.Series) -> pd.Series:
     return b.map(lambda v: None if v is None else
                  _zlib.decompress(bytes(v)).decode())
+
+
+# -- gated codecs: libraries absent from this container ------------------
+
+def _gated(name: str, modules: tuple[str, ...]):
+    raise ImportError(
+        f"{name}: none of {modules} is installed in this environment. "
+        "The VRL functions encode_/decode_" + name + " (" + name +
+        ".cue) need one of them — install on the cluster and this module "
+        "picks it up; the gzip/zlib UDFs above show the exact wiring.")
+
+
+def encode_zstd_gated(*_a, **_k):
+    """encode_zstd.cue — gated: no zstd binding in the sandbox."""
+    _gated("zstd", ("zstandard", "zstd", "cramjam"))
+
+
+def encode_snappy_gated(*_a, **_k):
+    """encode_snappy.cue — gated: no snappy binding in the sandbox."""
+    _gated("snappy", ("snappy", "cramjam"))
+
+
+def encode_lz4_gated(*_a, **_k):
+    """encode_lz4.cue — gated: no lz4 binding in the sandbox."""
+    _gated("lz4", ("lz4", "cramjam"))
+
+
+# -- seahash (seahash.cue) -----------------------------------------------
+
+_SEA_M = (1 << 64) - 1
+_SEA_P = 0x6EED0E9DA4D94A4F
+_SEA_KEYS = (0x16F11FE89B0D677C, 0xB480A793D8E6C86C,
+             0x6FE2E5AAF078EBC9, 0x14F994A4C5259381)
+
+
+def _sea_diffuse(x: int) -> int:
+    x = (x * _SEA_P) & _SEA_M
+    x ^= (x >> 32) >> (x >> 60)
+    return (x * _SEA_P) & _SEA_M
+
+
+def seahash_py(data: bytes) -> int:
+    """SeaHash (public reference algorithm; seahash.cue semantics):
+    8-byte little-endian chunks round-robined over 4 diffused lanes,
+    finalized with the length; the u64 result wraps to i64 (the cue's
+    documented signed conversion). Verified against both cue examples in
+    tests/test_vrl_extra.py."""
+    a, b, c, d = _SEA_KEYS
+    n = len(data)
+    i = 0
+    while i + 32 <= n:
+        a = _sea_diffuse(a ^ int.from_bytes(data[i:i + 8], "little"))
+        b = _sea_diffuse(b ^ int.from_bytes(data[i + 8:i + 16], "little"))
+        c = _sea_diffuse(c ^ int.from_bytes(data[i + 16:i + 24], "little"))
+        d = _sea_diffuse(d ^ int.from_bytes(data[i + 24:i + 32], "little"))
+        i += 32
+    lanes = [a, b, c, d]
+    li = 0
+    while i < n:
+        lanes[li] = _sea_diffuse(
+            lanes[li] ^ int.from_bytes(data[i:i + 8], "little"))
+        i += 8
+        li += 1
+    a, b, c, d = lanes
+    h = _sea_diffuse(a ^ b ^ c ^ d ^ n)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+@pandas_udf(LongType())
+def seahash(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else seahash_py(
+        v.encode() if isinstance(v, str) else bytes(v)))
+
+
+# -- punycode (encode_punycode.cue / decode_punycode.cue) ----------------
+
+def _puny_encode_label(label: str) -> str:
+    if label.isascii():
+        return label.lower()
+    return "xn--" + label.lower().encode("punycode").decode("ascii")
+
+
+def _puny_decode_label(label: str) -> str:
+    if label.lower().startswith("xn--"):
+        return label[4:].encode("ascii").decode("punycode")
+    return label.lower()
+
+
+@pandas_udf(StringType())
+def encode_punycode(s: pd.Series) -> pd.Series:
+    """IDNA per-label punycode encode (lowercases, like the cue doc)."""
+    return s.map(lambda v: None if v is None else
+                 ".".join(_puny_encode_label(x) for x in v.split(".")))
+
+
+@pandas_udf(StringType())
+def decode_punycode(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else
+                 ".".join(_puny_decode_label(x) for x in v.split(".")))

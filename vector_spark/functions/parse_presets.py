@@ -166,6 +166,70 @@ def parse_syslog3164(df: DataFrame, text_col: str = "text") -> DataFrame:
     return parse_grok(df, SYSLOG3164, text_col)
 
 
+# --- Linux authorization log (parse_linux_authorization.cue) -------------
+# Mar 23 01:49:58 localhost sshd[1111]: message   (RFC3164 sans <pri>)
+LINUX_AUTH = (
+    r"%{MONTH:month} %{MONTHDAY:day} %{TIME:time} "
+    r"%{NOTSPACE:hostname} %{NOTSPACE:appname}\[%{POSINT:procid:int}\]: "
+    "%{GREEDYDATA:message}"
+)
+
+
+def compiled_linux_auth() -> CompiledGrok:
+    return compile_grok(LINUX_AUTH)
+
+
+def parse_linux_authorization(df: DataFrame, text_col: str = "text",
+                              year: int | None = None) -> DataFrame:
+    """VRL parse_linux_authorization (parse_linux_authorization.cue):
+    auth.log / secure lines -> appname/hostname/procid/message plus an
+    assembled ``auth_ts`` timestamp. RFC3164 dates carry no year; the
+    reference assumes the current one — deterministic jobs pass ``year``
+    explicitly (``auth_ts`` stays NULL when omitted)."""
+    out = parse_grok(df, LINUX_AUTH, text_col)
+    if year is not None:
+        stamp = F.concat(F.lit(f"{year} "), F.col("month"), F.lit(" "),
+                         F.col("day"), F.lit(" "), F.col("time"))
+        out = out.withColumn(
+            "auth_ts", F.to_timestamp(stamp, "yyyy MMM d HH:mm:ss"))
+    return out
+
+
+# --- AWS CloudWatch Logs subscription message ----------------------------
+# (parse_aws_cloudwatch_log_subscription_message.cue)
+CLOUDWATCH_SCHEMA = (
+    "messageType string, owner string, logGroup string, logStream string, "
+    "subscriptionFilters array<string>, "
+    "logEvents array<struct<id:string,timestamp:long,message:string>>"
+)
+
+
+def parse_aws_cloudwatch(df: DataFrame, text_col: str = "text",
+                         explode_events: bool = False) -> DataFrame:
+    """VRL parse_aws_cloudwatch_log_subscription_message: the
+    subscription JSON envelope -> snake_cased columns (the cue's return
+    shape); ``explode_events=True`` additionally fans out one row per
+    logEvent with ``event_ts`` decoded from epoch-millis."""
+    c = F.col
+    out = df.withColumn("__cw", F.from_json(c(text_col), CLOUDWATCH_SCHEMA))
+    out = out.withColumns({
+        "message_type": c("__cw.messageType"),
+        "owner": c("__cw.owner"),
+        "log_group": c("__cw.logGroup"),
+        "log_stream": c("__cw.logStream"),
+        "subscription_filters": c("__cw.subscriptionFilters"),
+        "log_events": c("__cw.logEvents"),
+    }).drop("__cw")
+    if explode_events:
+        out = out.withColumn("__ev", F.explode("log_events"))
+        out = out.withColumns({
+            "event_id": c("__ev.id"),
+            "event_ts": F.timestamp_millis(c("__ev.timestamp")),
+            "event_message": c("__ev.message"),
+        }).drop("__ev")
+    return out
+
+
 # --- GELF (parse_gelf / the gelf codec, lib/codecs decoding/format/gelf) -
 GELF_SCHEMA = ("version string, host string, short_message string, "
                "full_message string, timestamp double, level int")

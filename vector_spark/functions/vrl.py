@@ -195,6 +195,16 @@ def decode_base64(c) -> Column:
     return F.unbase64(_c(c)).cast("string")
 
 
+def encode_base16(c) -> Column:
+    """encode_base16.cue: lowercase hex of the UTF-8 bytes."""
+    return F.lower(F.hex(_c(c).cast("binary")))
+
+
+def decode_base16(c) -> Column:
+    """decode_base16.cue: hex string -> original text."""
+    return F.unhex(_c(c)).cast("string")
+
+
 def encode_json_col(struct_col) -> Column:
     """encode_json.cue over a struct column."""
     return F.to_json(_c(struct_col))
