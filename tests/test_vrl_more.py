@@ -1,0 +1,321 @@
+"""VRL stdlib batch-3 tests (functions/vrl_more.py) — each case anchors
+to its .cue example in website/cue/reference/remap/functions/."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.functions import vrl_more as M
+from vector_spark.functions.vrl import pascalcase, screamingsnakecase
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [("/first/second/third.txt", "foobar", "sub.sussex.ac.uk"),
+         ("rel/path/", "foobarfoobar", "vector.acmecorp"),
+         ("lone", "", "example.com")],
+        ["path", "s", "host"])
+
+
+def test_basename_dirname(df):
+    rows = df.select(M.basename(F.col("path")).alias("b"),
+                     M.dirname(F.col("path")).alias("d")).collect()
+    assert [(r["b"], r["d"]) for r in rows] == [
+        ("third.txt", "/first/second"), ("path", "rel"), ("lone", ".")]
+
+
+def test_dirname_root(spark):
+    r = spark.range(1).select(M.dirname(F.lit("/a")).alias("d")).first()
+    assert r["d"] == "/"
+
+
+def test_compact(spark):
+    r = spark.createDataFrame([([None, "a", "", "b"],)], "arr array<string>") \
+        .select(M.compact(F.col("arr")).alias("c")).first()
+    assert r["c"] == ["a", "b"]
+
+
+def test_contains_all(df):
+    rows = df.select(
+        M.contains_all(F.col("s"), ["foo", "bar"]).alias("a"),
+        M.contains_all(F.col("s"), ["FOO"], case_sensitive=False).alias("b")).collect()
+    assert [r["a"] for r in rows] == [True, True, False]
+    assert rows[0]["b"] is True
+
+
+def test_pop_and_object_from_array(spark):
+    r = spark.range(1).select(
+        M.pop(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("p"),
+        M.object_from_array(F.array(
+            F.array(F.lit("one"), F.lit("1")),
+            F.array(F.lit(None).cast("string"), F.lit("2")),
+            F.array(F.lit("two"), F.lit("3")))).alias("o")).first()
+    assert r["p"] == [1, 2]
+    assert r["o"] == {"one": "1", "two": "3"}  # object_from_array.cue
+
+
+def test_predicates(spark):
+    d = spark.createDataFrame(
+        [("", "-", '{"a":1}', "1.2.3.4", "::ffff:1.2.3.4")],
+        ["e", "dash", "j", "v4", "v6"])
+    r = d.select(
+        M.is_empty(F.col("e")).alias("ie"), M.is_nullish(F.col("dash")).alias("inl"),
+        M.is_nullish(F.lit("\n  \n")).alias("ws"),
+        M.is_json(F.col("j")).alias("ij"), M.is_json(F.lit("{nope")).alias("ij2"),
+        M.is_ipv4(F.col("v4")).alias("i4"), M.is_ipv6(F.col("v6")).alias("i6"),
+        M.json_type(F.col("j")).alias("jt"), M.json_type(F.lit("42")).alias("jn"),
+    ).first()
+    assert (r["ie"], r["inl"], r["ws"], r["ij"], r["ij2"]) == (
+        True, True, True, True, False)
+    assert (r["i4"], r["i6"]) == (True, True)
+    assert (r["jt"], r["jn"]) == ("object", "number")
+    assert M.is_string(d, "e") and not M.is_integer(d, "e")
+
+
+def test_find_cue_examples(df):
+    rows = df.select(
+        M.find(F.col("s"), "foo").alias("a"),
+        M.find(F.col("s"), "baz").alias("b"),
+        M.find(F.col("s"), "foo", from_=1).alias("c"),
+        M.find_regex(F.col("s"), r"b.r").alias("d")).collect()
+    assert (rows[0]["a"], rows[0]["b"], rows[0]["d"]) == (0, None, 3)
+    assert rows[1]["c"] == 6  # find.cue: from-offset second match
+
+
+def test_match_any_array(spark):
+    d = spark.createDataFrame([("bar", ["foo", "123"])], ["s", "arr"])
+    r = d.select(M.match_any(F.col("s"), [r"^b", r"^z"]).alias("a"),
+                 M.match_array(F.col("arr"), r"\d+").alias("any"),
+                 M.match_array(F.col("arr"), r"\d+", all_=True).alias("all")).first()
+    assert (r["a"], r["any"], r["all"]) == (True, True, False)
+
+
+def test_haversine_cue_example(spark):
+    r = spark.range(1).select(
+        M.haversine(F.lit(0.0), F.lit(0.0), F.lit(10.0), F.lit(10.0)).alias("h"),
+        M.haversine(F.lit(0.0), F.lit(0.0), F.lit(10.0), F.lit(10.0),
+                    unit="miles").alias("m")).first()
+    assert abs(r["h"]["distance"] - 1568.5227233) < 1e-3
+    assert abs(r["h"]["bearing"] - 44.561) < 1e-2
+    assert abs(r["m"]["distance"] - 974.6348468) < 1e-3
+
+
+def test_shannon_entropy_cue_example(spark):
+    r = spark.range(1).select(
+        M.shannon_entropy(F.lit("vector.dev")).alias("e")).first()
+    assert abs(r["e"] - 2.92193) < 1e-4  # shannon_entropy.cue (floor 2.9219)
+
+
+def test_sieve_cue_examples(spark):
+    d = spark.createDataFrame([("test123%456.فوائد.net.",)], ["s"])
+    r = d.select(
+        M.sieve(F.col("s"), "[a-z0-9.]").alias("a"),
+        M.sieve(F.col("s"), "[a-z.0-9]", replace_single="X",
+                replace_repeated="<REMOVED>").alias("b")).first()
+    assert r["a"] == "test123456..net."
+    assert r["b"] == "test123X456.<REMOVED>.net."
+
+
+def test_parse_tokens_cue_example(spark):
+    d = spark.createDataFrame(
+        [('A sentence "with \\"a\\" sentence inside" and [some brackets]',)],
+        ["s"])
+    r = d.select(M.parse_tokens(F.col("s")).alias("t")).first()
+    assert r["t"] == ["A", "sentence", 'with "a" sentence inside',
+                      "and", "some brackets"]
+
+
+def test_parse_ruby_hash(spark):
+    d = spark.createDataFrame(
+        [('{ "test" => "value", "testNum" => 0.2, :sym => nil }',)], ["s"])
+    r = d.select(M.parse_ruby_hash(
+        F.col("s"), "test string, testNum double, sym string").alias("h")).first()
+    assert r["h"]["test"] == "value"
+    assert r["h"]["testNum"] == 0.2
+    assert r["h"]["sym"] is None
+
+
+def test_parse_etld_cue_examples(df):
+    rows = df.select(M.parse_etld(F.col("host")).alias("e"),
+                     M.parse_etld(F.col("host"), plus_parts=1).alias("p")).collect()
+    e0, p0 = rows[0]["e"], rows[0]["p"]  # sub.sussex.ac.uk
+    assert (e0["etld"], e0["etld_plus"], e0["known_suffix"]) == \
+        ("ac.uk", "ac.uk", True)
+    assert p0["etld_plus"] == "sussex.ac.uk"
+    e1 = rows[1]["e"]  # vector.acmecorp — unknown suffix
+    assert (e1["etld"], e1["known_suffix"]) == ("acmecorp", False)
+    e2 = rows[2]["e"]
+    assert (e2["etld"], e2["known_suffix"]) == ("com", True)
+
+
+def test_syslog_code_maps(spark):
+    r = spark.range(1).select(
+        M.to_syslog_facility_code(F.lit("authpriv")).alias("f"),
+        M.to_syslog_severity(F.lit("err")).alias("s")).first()
+    assert (r["f"], r["s"]) == (10, 3)  # both cue examples
+
+
+def test_ip_conversions(spark):
+    d = spark.createDataFrame([("192.168.10.32", "::ffff:192.168.0.1")],
+                              ["v4", "v6"])
+    r = d.select(
+        M.ip_to_ipv6(F.col("v4")).alias("to6"),
+        M.ipv6_to_ipv4(F.col("v6")).alias("to4"),
+        M.ipv6_to_ipv4(F.lit("2001:db8::1")).alias("bad"),
+        M.ip_ntop(M.ip_pton(F.col("v4"))).alias("rt")).first()
+    assert r["to6"] == "::ffff:192.168.10.32"  # ip_to_ipv6.cue
+    assert r["to4"] == "192.168.0.1"           # ipv6_to_ipv4.cue
+    assert r["bad"] is None
+    assert r["rt"] == "192.168.10.32"
+
+
+def test_uuid_v7_shape_and_determinism(spark):
+    d = spark.createDataFrame([("2020-05-26 10:26:13.254", "k1")],
+                              ["ts", "salt"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    a = d.select(M.uuid_v7(F.col("ts"), F.col("salt")).alias("u")).first()["u"]
+    b = d.select(M.uuid_v7(F.col("ts"), F.col("salt")).alias("u")).first()["u"]
+    assert a == b
+    import re
+    assert re.fullmatch(
+        r"[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}", a)
+
+
+def test_uuid_from_friendly_id_cue_vector(spark):
+    r = spark.range(1).select(M.uuid_from_friendly_id(
+        F.lit("3s87yEvnmkiPBMHsj8bwwc")).alias("u")).first()
+    assert r["u"] == "7f41deed-d5e2-8b5e-7a13-ab4ff93cfad2"
+
+
+def test_sha3_and_community_id(spark):
+    import hashlib
+    d = spark.createDataFrame(
+        [("1.2.3.4", "5.6.7.8", 1122, 3344, 6, "foo")],
+        ["sa", "da", "sp", "dp", "pr", "txt"])
+    r = d.select(
+        M.sha3(F.col("txt"), "SHA3-256").alias("h"),
+        M.community_id(F.col("sa"), F.col("da"), F.col("sp"),
+                       F.col("dp"), F.col("pr")).alias("cid")).first()
+    assert r["h"] == hashlib.sha3_256(b"foo").hexdigest()
+    assert r["cid"] == "1:wCb3OG7yAFWelaUydu0D+125CLM="  # community_id.cue
+
+
+def test_charset_and_mime_q(spark):
+    d = spark.createDataFrame([("café", "=?utf-8?b?SGVsbG8sIFdvcmxkIQ==?=")],
+                              ["s", "q"])
+    r = d.select(
+        M.decode_charset(M.encode_charset(F.col("s"), "latin-1"),
+                         "latin-1").alias("rt"),
+        M.decode_mime_q(F.col("q")).alias("m")).first()
+    assert r["rt"] == "café"
+    assert r["m"] == "Hello, World!"  # decode_mime_q.cue
+
+
+def test_encrypt_decrypt_roundtrip(spark):
+    d = spark.createDataFrame([("super secret message",)], ["s"])
+    key, iv = "sixteen byte key", "sixteen byte ivs"
+    for algo in ("AES-128-CBC", "AES-128-CTR", "AES-128-CFB"):
+        r = d.select(M.decrypt(M.encrypt(F.col("s"), algo, key, iv),
+                               algo, key, iv).alias("rt")).first()
+        assert r["rt"] == "super secret message", algo
+
+
+def test_encrypt_ip_cue_vector(spark):
+    d = spark.createDataFrame([("192.168.1.1",)], ["ip"])
+    key = "sixteen byte key"
+    r = d.select(M.encrypt_ip(F.col("ip"), key).alias("e"),
+                 M.decrypt_ip(M.encrypt_ip(F.col("ip"), key), key).alias("rt")).first()
+    assert r["e"] == "72b9:a747:f2e9:72af:76ca:5866:6dcf:c3b0"  # encrypt_ip.cue
+    assert r["rt"] == "192.168.1.1"
+
+
+def test_validate_json_schema(spark):
+    schema = {"type": "object", "properties": {"a": {"type": "integer"}},
+              "required": ["a"]}
+    d = spark.createDataFrame([('{"a": 1}',), ('{"a": "x"}',), ("nope",)],
+                              ["j"])
+    rows = d.select(M.validate_json_schema(F.col("j"), schema).alias("v")).collect()
+    assert [r["v"] for r in rows] == [True, False, False]
+
+
+def test_replace_with_cue_example(spark):
+    d = spark.createDataFrame([("apples and bananas",)], ["s"])
+    cap = M.replace_with(r"\b(\w)(\w*)",
+                         lambda m: m.group(1).upper() + m.group(2))
+    r = d.select(cap(F.col("s")).alias("v")).first()
+    assert r["v"] == "Apples And Bananas"  # replace_with.cue (title-case)
+
+
+def test_secrets_map_ops(spark):
+    d = spark.createDataFrame([({"dd_api_key": "abc"},)],
+                              "m map<string,string>")
+    r = d.select(
+        M.get_secret(F.col("m"), F.lit("dd_api_key")).alias("g"),
+        M.get_secret(M.set_secret(F.col("m"), F.lit("k2"), F.lit("v2")),
+                     F.lit("k2")).alias("s"),
+        M.get_secret(M.remove_secret(F.col("m"), F.lit("dd_api_key")),
+                     F.lit("dd_api_key")).alias("r")).first()
+    assert (r["g"], r["s"], r["r"]) == ("abc", "v2", None)
+
+
+def test_unflatten_cue_example(spark):
+    import json
+    d = spark.createDataFrame(
+        [({"foo.bar.baz": "true", "foo.quux": "42"},)], "m map<string,string>")
+    r = d.select(M.unflatten_json(F.col("m")).alias("j")).first()
+    assert json.loads(r["j"]) == {"foo": {"bar": {"baz": "true"},
+                                          "quux": "42"}}
+
+
+def test_pascal_screaming_case(spark):
+    r = spark.range(1).select(
+        pascalcase(F.lit("input_str")).alias("p"),
+        screamingsnakecase(F.lit("input-str")).alias("s")).first()
+    assert (r["p"], r["s"]) == ("InputStr", "INPUT_STR")
+
+
+def test_random_seeded_bounds(spark):
+    rows = spark.range(100).select(
+        M.random_int(F.lit(0), F.lit(10), seed=7).alias("i"),
+        M.random_float(F.lit(0.0), F.lit(1.0), seed=7).alias("f"),
+        F.length(M.random_bytes(16, seed=7)).alias("nb")).collect()
+    assert all(0 <= r["i"] < 10 for r in rows)
+    assert all(0.0 <= r["f"] < 1.0 for r in rows)
+    assert all(r["nb"] == 16 for r in rows)
+
+
+def test_gated_raise_actionable():
+    for fn in (M.parse_cbor, M.parse_proto, M.encode_proto, M.parse_dnstap):
+        with pytest.raises(ImportError, match="install on the cluster"):
+            fn()
+
+
+def test_match_datadog_query_delegates(spark):
+    d = spark.createDataFrame([("error timeout", "web"), ("ok", "db")],
+                              ["text", "service"])
+    got = d.filter(M.match_datadog_query("error")).count()
+    assert got == 1
+
+
+def test_parse_influxdb_cue_example(spark):
+    line = ("cpu,host=A,region=us-west usage_system=64i,usage_user=10u,"
+            "temperature=50.5,on=true,sleep=false 1590488773254420000")
+    d = spark.createDataFrame([(line,)], ["s"])
+    r = d.select(M.parse_influxdb(F.col("s")).alias("m")).first()["m"]
+    assert [m["name"] for m in r] == [
+        "cpu_usage_system", "cpu_usage_user", "cpu_temperature",
+        "cpu_on", "cpu_sleep"]
+    assert [m["gauge"]["value"] for m in r] == [64.0, 10.0, 50.5, 1.0, 0.0]
+    assert all(m["tags"] == {"host": "A", "region": "us-west"} for m in r)
+    assert all(m["kind"] == "absolute" for m in r)
+    assert str(r[0]["timestamp"]) == "2020-05-26 10:26:13.254420"
+
+
+def test_parse_influxdb_escapes_and_strings(spark):
+    line = r'my\ cpu,ho\,st=a\=b value=1i,note="text field" 1000000000'
+    d = spark.createDataFrame([(line,)], ["s"])
+    r = d.select(M.parse_influxdb(F.col("s")).alias("m")).first()["m"]
+    assert len(r) == 1  # string field dropped (documented lenient delta)
+    assert r[0]["name"] == "my cpu_value"
+    assert r[0]["tags"] == {"ho,st": "a=b"}
+    assert str(r[0]["timestamp"]) == "1970-01-01 00:00:01"

@@ -600,6 +600,130 @@ def q_vrl_codec_hash_funcs(spark, sf_dir):
     return out
 
 
+def q_vrl_shape_text_funcs(spark, sf_dir):
+    """VRL batch-3 text/shape functions (functions/vrl_more.py):
+    basename/dirname, parse_etld (vendored PSL subset), shannon_entropy
+    (pure Column algebra), sieve, find, syslog code maps, secrets map
+    ops, unflatten, validate_json_schema, decode_mime_q. Entropy and
+    etld have closed-form per-role oracles; roundtrips check against
+    source columns."""
+    from vector_spark.functions import vrl_more as M
+
+    t = _transcripts(spark, sf_dir)
+    path = F.concat(F.lit("/var/log/"), F.coalesce("tool", F.lit("none")),
+                    F.lit("/"), "role", F.lit(".log"))
+    host = F.concat(
+        F.col("role"), F.lit(".sussex."),
+        F.when(F.col("role") == "user", "ac.uk")
+        .when(F.col("role") == "assistant", "com")
+        .when(F.col("role") == "tool", "acmecorp").otherwise("co.jp"))
+    fac = (F.when(F.col("role") == "user", "user")
+           .when(F.col("role") == "assistant", "daemon")
+           .when(F.col("role") == "tool", "authpriv").otherwise("kern"))
+    sev = (F.when(F.col("role") == "user", "info")
+           .when(F.col("role") == "assistant", "notice")
+           .when(F.col("role") == "tool", "err").otherwise("emerg"))
+    etld = M.parse_etld(host, plus_parts=1)
+    schema = {"type": "object", "properties": {"a": {"type": "integer"}},
+              "required": ["a"]}
+    mime_word = F.concat(F.lit("=?utf-8?b?"),
+                         F.base64(F.encode("role", "utf-8")), F.lit("?="))
+    return t.select(
+        "conv_id", "turn_idx",
+        M.basename(path).alias("base_name"),
+        M.dirname(path).alias("dir_name"),
+        etld.getField("etld").alias("etld"),
+        etld.getField("etld_plus").alias("etld_plus"),
+        etld.getField("known_suffix").alias("known_suffix"),
+        F.round(M.shannon_entropy(F.col("role")), 6).alias("role_entropy"),
+        M.sieve(F.col("text"), "[a-z0-9 ]").alias("clean_text"),
+        M.find(F.col("text"), "error").cast("int").alias("err_pos"),
+        M.to_syslog_facility_code(fac).alias("fac_code"),
+        M.to_syslog_severity(sev).alias("sev_code"),
+        M.get_secret(
+            M.set_secret(F.create_map(F.lit("k"), F.col("role")),
+                         F.lit("k2"), F.lit("v2")),
+            F.lit("k")).alias("secret_k"),
+        M.unflatten_json(
+            F.create_map(F.lit("a.b"), F.col("role"))).alias("unflat"),
+        M.validate_json_schema(
+            F.to_json(F.struct(F.col("turn_idx").alias("a"))),
+            schema).alias("schema_ok"),
+        M.decode_mime_q(mime_word).alias("mime_role"),
+    )
+
+
+def q_vrl_net_crypto_funcs(spark, sf_dir):
+    """VRL batch-3 network/crypto functions (functions/vrl_more.py):
+    ip_to_ipv6 / ipv6_to_ipv4 / ip_pton+ip_ntop roundtrip, ipcrypt
+    encrypt_ip/decrypt_ip roundtrip + per-role ciphertext, community_id
+    and sha3 (cue-vector-anchored literals per role), AES + charset
+    roundtrips, haversine (closed-form SQL twin), base62 friendly-id."""
+    from vector_spark.functions import vrl_more as M
+
+    t = _transcripts(spark, sf_dir)
+    ip = F.concat_ws(
+        ".", F.lit("10"), (F.col("turn_idx") % 200).cast("string"),
+        ((F.col("turn_idx") * 7) % 250).cast("string"),
+        (1 + F.col("turn_idx") % 254).cast("string"))
+    role_ip = (F.when(F.col("role") == "user", "1.2.3.4")
+               .when(F.col("role") == "assistant", "10.0.0.1")
+               .when(F.col("role") == "tool", "172.16.5.9")
+               .otherwise("192.168.1.77"))
+    role_port = (F.when(F.col("role") == "user", 1122)
+                 .when(F.col("role") == "assistant", 2222)
+                 .when(F.col("role") == "tool", 3333).otherwise(4444))
+    key, iv = "sixteen byte key", "sixteen byte ivs"
+    lat1 = (F.col("turn_idx") % 80).cast("double")
+    lat2 = lat1 + 5.0
+    hav = M.haversine(lat1, F.lit(0.0), lat2, F.lit(10.0))
+    return t.select(
+        "conv_id", "turn_idx",
+        M.ip_to_ipv6(ip).alias("ip6"),
+        M.ipv6_to_ipv4(M.ip_to_ipv6(ip)).alias("ip4_back"),
+        M.ip_ntop(M.ip_pton(ip)).alias("ip_rt"),
+        M.decrypt_ip(M.encrypt_ip(ip, key), key).alias("ipcrypt_rt"),
+        M.encrypt_ip(role_ip, key).alias("role_ip_enc"),
+        M.community_id(role_ip, F.lit("8.8.8.8"), role_port,
+                       F.lit(443), F.lit(6)).alias("flow_id"),
+        M.sha3(F.col("role"), "SHA3-256").alias("role_sha3"),
+        M.decrypt(M.encrypt(F.col("text"), "AES-128-CBC", key, iv),
+                  "AES-128-CBC", key, iv).alias("aes_rt"),
+        M.decode_charset(M.encode_charset(F.col("text"), "utf-8"),
+                         "utf-8").alias("charset_rt"),
+        F.round(hav.getField("distance"), 6).alias("hav_km"),
+        F.round(hav.getField("bearing"), 6).alias("hav_bearing"),
+        M.uuid_from_friendly_id(
+            F.lit("3s87yEvnmkiPBMHsj8bwwc")).alias("friendly_uuid"),
+    )
+
+
+def q_parse_influxdb(spark, sf_dir):
+    """parse_influxdb (functions/vrl_more.py; parse_influxdb.cue):
+    line-protocol decode -> one row per metric-shaped struct, the
+    log_to_metric(all_metrics) input shape. 3 regexp passes + splits,
+    no UDF."""
+    from vector_spark.functions.vrl_more import parse_influxdb
+
+    t = _transcripts(spark, sf_dir)
+    line = F.concat(
+        F.lit("cpu,host=h"), (F.col("turn_idx") % 20).cast("string"),
+        F.lit(",region=us-west usage="), F.col("turn_idx").cast("string"),
+        F.lit("i,temp="), (F.col("turn_idx") % 100).cast("string"),
+        F.lit(".5,on=true "),
+        (F.unix_timestamp("ts") * F.lit(1000000000)).cast("string"))
+    p = t.select("conv_id", "turn_idx",
+                 F.explode(parse_influxdb(line)).alias("m"))
+    return p.select(
+        "conv_id", "turn_idx",
+        F.col("m.name").alias("metric_name"),
+        F.element_at("m.tags", "host").alias("host_tag"),
+        F.element_at("m.tags", "region").alias("region_tag"),
+        F.col("m.timestamp").alias("m_ts"),
+        F.col("m.kind").alias("kind"),
+        F.col("m.gauge.value").alias("gauge_value"))
+
+
 def q_ddsearch_filter(spark, sf_dir):
     """Datadog-search syntax condition over the parsed stream
     (functions/ddsearch.py; reference src/conditions/datadog_search.rs):
@@ -1293,6 +1417,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_linux_auth": q_parse_linux_auth,
     "parse_cloudwatch": q_parse_cloudwatch,
     "vrl_codec_hash_funcs": q_vrl_codec_hash_funcs,
+    "vrl_shape_text_funcs": q_vrl_shape_text_funcs,
+    "vrl_net_crypto_funcs": q_vrl_net_crypto_funcs,
+    "parse_influxdb": q_parse_influxdb,
     "ddsearch_filter": q_ddsearch_filter,
     "parse_key_value_roundtrip": q_parse_key_value,
     "remap_dropped_port": q_remap_dropped,
@@ -1708,6 +1835,100 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
              {_sea} AS role_seahash, {_puny} AS puny,
              'www.' || role || 'é.example' AS puny_roundtrip
       FROM read_parquet('{tp}')"""
+
+    # Batch-3 VRL functions: per-role literals come from the same
+    # implementations the cue-vector unit tests anchor
+    # (tests/test_vrl_more.py) — oracle checks pipeline/UDF plumbing,
+    # unit tests check the algorithms.
+    import hashlib as _hl
+    import math as _math
+    from collections import Counter as _Counter
+
+    from vector_spark.functions.vrl_more import (community_id_py,
+                                                 encrypt_ip_py)
+
+    def _entropy(s: str) -> float:
+        cnt, n = _Counter(s), len(s)
+        return round(-sum((v / n) * _math.log2(v / n)
+                          for v in cnt.values()), 6)
+
+    _etld_rows = {"user": ("ac.uk", "sussex.ac.uk", "TRUE"),
+                  "assistant": ("com", "sussex.com", "TRUE"),
+                  "tool": ("acmecorp", "sussex.acmecorp", "FALSE"),
+                  "system": ("co.jp", "sussex.co.jp", "TRUE")}
+
+    def _rcase(fmt) -> str:
+        return ("CASE role " + " ".join(
+            f"WHEN '{r}' THEN {fmt(r)}" for r in _roles) + " END")
+
+    _fac = {"user": 1, "assistant": 3, "tool": 10, "system": 0}
+    _sev = {"user": 6, "assistant": 5, "tool": 3, "system": 0}
+    o["vrl_shape_text_funcs"] = f"""SELECT conv_id, turn_idx,
+             role || '.log' AS base_name,
+             '/var/log/' || coalesce(tool, 'none') AS dir_name,
+             {_rcase(lambda r: repr(_etld_rows[r][0]))} AS etld,
+             {_rcase(lambda r: repr(_etld_rows[r][1]))} AS etld_plus,
+             {_rcase(lambda r: _etld_rows[r][2])} AS known_suffix,
+             {_rcase(lambda r: _entropy(r))} AS role_entropy,
+             regexp_replace(text, '[^a-z0-9 ]+', '', 'g') AS clean_text,
+             CASE WHEN strpos(text, 'error') > 0
+                  THEN CAST(strpos(text, 'error') - 1 AS INTEGER) END AS err_pos,
+             CAST({_rcase(lambda r: _fac[r])} AS INTEGER) AS fac_code,
+             CAST({_rcase(lambda r: _sev[r])} AS INTEGER) AS sev_code,
+             role AS secret_k,
+             '{{"a": {{"b": "' || role || '"}}}}' AS unflat,
+             TRUE AS schema_ok,
+             role AS mime_role
+      FROM read_parquet('{tp}')"""
+
+    _role_ips = {"user": ("1.2.3.4", 1122), "assistant": ("10.0.0.1", 2222),
+                 "tool": ("172.16.5.9", 3333), "system": ("192.168.1.77", 4444)}
+    _ipkey = b"sixteen byte key"
+    _ip_sql = ("'10.' || (turn_idx % 200) || '.' || ((turn_idx * 7) % 250)"
+               " || '.' || (1 + turn_idx % 254)")
+    _hav = """2 * 6371.0088 * asin(sqrt(
+        pow(sin(radians(5.0) / 2), 2) +
+        cos(radians(CAST(turn_idx % 80 AS DOUBLE))) *
+        cos(radians(CAST(turn_idx % 80 AS DOUBLE) + 5.0)) *
+        pow(sin(radians(10.0) / 2), 2)))"""
+    _bear = """fmod(degrees(atan2(
+        sin(radians(10.0)) * cos(radians(CAST(turn_idx % 80 AS DOUBLE) + 5.0)),
+        cos(radians(CAST(turn_idx % 80 AS DOUBLE))) *
+        sin(radians(CAST(turn_idx % 80 AS DOUBLE) + 5.0)) -
+        sin(radians(CAST(turn_idx % 80 AS DOUBLE))) *
+        cos(radians(CAST(turn_idx % 80 AS DOUBLE) + 5.0)) *
+        cos(radians(10.0)))) + 360, 360)"""
+    o["vrl_net_crypto_funcs"] = f"""SELECT conv_id, turn_idx,
+             '::ffff:' || {_ip_sql} AS ip6,
+             {_ip_sql} AS ip4_back,
+             {_ip_sql} AS ip_rt,
+             {_ip_sql} AS ipcrypt_rt,
+             {_rcase(lambda r: repr(encrypt_ip_py(_role_ips[r][0], _ipkey)))}
+                 AS role_ip_enc,
+             {_rcase(lambda r: repr(community_id_py(
+                 _role_ips[r][0], "8.8.8.8", _role_ips[r][1], 443, 6)))}
+                 AS flow_id,
+             {_rcase(lambda r: repr(_hl.sha3_256(r.encode()).hexdigest()))}
+                 AS role_sha3,
+             text AS aes_rt,
+             text AS charset_rt,
+             round({_hav}, 6) AS hav_km,
+             round({_bear}, 6) AS hav_bearing,
+             '7f41deed-d5e2-8b5e-7a13-ab4ff93cfad2' AS friendly_uuid
+      FROM read_parquet('{tp}')"""
+
+    o["parse_influxdb"] = f"""SELECT conv_id, turn_idx,
+             CASE i WHEN 0 THEN 'cpu_usage' WHEN 1 THEN 'cpu_temp'
+                    ELSE 'cpu_on' END AS metric_name,
+             'h' || (turn_idx % 20) AS host_tag,
+             'us-west' AS region_tag,
+             ts AS m_ts,
+             'absolute' AS kind,
+             CASE i WHEN 0 THEN CAST(turn_idx AS DOUBLE)
+                    WHEN 1 THEN (turn_idx % 100) + 0.5
+                    ELSE 1.0 END AS gauge_value
+      FROM read_parquet('{tp}')
+      CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2) _r"""
 
     o["memory_feedback_lookup"] = f"""SELECT t.conv_id, t.turn_idx, t.tool,
              m.tool_seen_count

@@ -7,9 +7,12 @@ translates term-for-term. Every function returns a pyspark Column built
 from JVM-side builtins — no Python in the hot path. Parse-family
 functions live in functions/parse.py.
 
-Excluded by design: random_* / uuid_v4 (non-deterministic — banned from
-correctness-checked paths), get_env_var/system (driver-side), log/assert
-(telemetry), enrichment functions (operators/enrich.py).
+Batch 3 lives in functions/vrl_more.py (path/predicate/net/crypto/
+influxdb + name-parity wrappers) — together the two modules cover all
+203 reference function names. random_*/uuid_v7 are seeded/derived
+deterministic variants (real randomness is banned from
+correctness-checked paths); uuid_v4 and get_env_var/system stay
+driver-side by design.
 """
 
 from __future__ import annotations
@@ -629,6 +632,17 @@ def camelcase(c) -> Column:
         words,
         lambda w, i: F.when(i == 0, F.lower(w)).otherwise(F.initcap(F.lower(w))))
     return F.array_join(cap, "")
+
+
+def pascalcase(c) -> Column:
+    """pascalcase.cue: every word capitalized, no separators."""
+    return F.array_join(
+        F.transform(_words_arr(c), lambda w: F.initcap(F.lower(w))), "")
+
+
+def screamingsnakecase(c) -> Column:
+    """screamingsnakecase.cue: SNAKE_CASE, upper."""
+    return F.upper(F.array_join(_words_arr(c), "_"))
 
 
 def strip_ansi_escape_codes(c) -> Column:

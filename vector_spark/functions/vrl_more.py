@@ -1,0 +1,1013 @@
+"""VRL stdlib, batch 3 — the long tail toward full 203-function parity.
+
+Same contract as functions/vrl.py (SURVEY.md §2.8; reference
+website/cue/reference/remap/functions/*.cue): every function returns a
+pyspark Column built from JVM-side builtins wherever the semantics
+allow; the handful that genuinely need Python (sha3, community_id,
+punycode-adjacent charset work, AES, base62) are Arrow-batched pandas
+UDFs, never per-row Python UDFs. Gated stubs (parse_cbor, parse_proto,
+parse_dnstap) raise actionable ImportErrors — the bindings are absent
+from this container.
+
+Type-predicate note: VRL's is_string/is_integer/... inspect a dynamic
+value at runtime; a Spark column's type is static in the schema, so the
+faithful analog is a schema inspection (`is_string(df, "col")` returns
+a Python bool). The row-level flavors that DO make sense on typed
+columns (is_empty, is_nullish, is_json, is_ipv4, is_ipv6, json_type on
+JSON-encoded text) are real Column predicates.
+"""
+
+from __future__ import annotations
+
+import socket as _socket
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (BinaryType, BooleanType, DoubleType,
+                               LongType, StringType)
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.lit(x)
+
+
+# -- path ops (basename.cue, dirname.cue) --------------------------------
+
+def basename(c) -> Column:
+    """basename.cue: final path component; trailing slashes ignored."""
+    return F.regexp_extract(_c(c), r"([^/]+)/*$", 1)
+
+
+def dirname(c) -> Column:
+    """dirname.cue: parent path. `/a/b/c` -> `/a/b`, `a` -> `.`,
+    `/a` -> `/`."""
+    s = _c(c)
+    stripped = F.regexp_replace(s, r"/*[^/]+/*$", "")
+    return (F.when(stripped == "", F.when(s.startswith("/"), F.lit("/"))
+                   .otherwise(F.lit(".")))
+            .otherwise(F.regexp_replace(stripped, r"(.)/+$", r"$1")))
+
+
+# -- array / object ops (compact.cue, contains_all.cue, pop.cue,
+#    object_from_array.cue, remove-by-key via map ops) -------------------
+
+def compact(arr) -> Column:
+    """compact.cue (array flavor): drop NULLs and empty strings."""
+    return F.filter(_c(arr),
+                    lambda x: x.isNotNull() & (x.cast("string") != ""))
+
+
+def compact_map(m) -> Column:
+    """compact.cue (object flavor) over a map column."""
+    return F.map_filter(
+        _c(m), lambda k, v: v.isNotNull() & (v.cast("string") != ""))
+
+
+def contains_all(c, substrings: list[str], case_sensitive: bool = True) -> Column:
+    """contains_all.cue: every needle appears in the haystack."""
+    s = _c(c) if case_sensitive else F.lower(_c(c))
+    out = F.lit(True)
+    for sub in substrings:
+        out = out & s.contains(sub if case_sensitive else sub.lower())
+    return out
+
+
+def pop(arr) -> Column:
+    """pop.cue: array without its last element (empty stays empty)."""
+    a = _c(arr)
+    return F.when(F.size(a) > 0, F.slice(a, 1, F.size(a) - 1)) \
+            .otherwise(a)
+
+
+def remove_key(m, key) -> Column:
+    """VRL `remove` on an object path -> drop one key from a map."""
+    return F.map_filter(_c(m), lambda k, v: k != _c(key))
+
+
+def object_from_array(pairs, keys=None) -> Column:
+    """object_from_array.cue: [[k, v], ...] -> map, NULL keys dropped.
+    With `keys`, zips keys[i] -> values[i] (the cue's second form)."""
+    if keys is not None:
+        entries = F.zip_with(_c(keys), _c(pairs),
+                             lambda k, v: F.struct(k.alias("key"),
+                                                   v.alias("value")))
+    else:
+        entries = F.transform(
+            _c(pairs),
+            lambda p: F.struct(F.element_at(p, 1).cast("string").alias("key"),
+                               F.element_at(p, 2).alias("value")))
+    return F.map_from_entries(
+        F.filter(entries, lambda e: e.getField("key").isNotNull()))
+
+
+# -- row-level predicates (is_empty.cue, is_nullish.cue, is_json.cue,
+#    is_ipv4.cue, is_ipv6.cue) -------------------------------------------
+
+def is_empty(c) -> Column:
+    """is_empty.cue: '' / [] / {} -> true (typed-column: length==0)."""
+    x = _c(c)
+    return F.coalesce(F.length(x.cast("string")) == 0, F.lit(False))
+
+
+def is_empty_arr(c) -> Column:
+    return F.size(_c(c)) == 0
+
+
+def is_nullish(c) -> Column:
+    """is_nullish.cue: NULL, '', '-', or whitespace-only."""
+    s = _c(c)
+    return s.isNull() | (s == "-") | s.rlike(r"^\s*$")
+
+
+def is_json(c) -> Column:
+    """is_json.cue over JSON-encoded text (try-parse succeeds)."""
+    return F.try_parse_json(_c(c)).isNotNull()
+
+
+def json_type(c) -> Column:
+    """Classify a JSON-encoded value: object/array/string/number/
+    boolean/null — the dynamic-type half of VRL's is_* family for text
+    payloads."""
+    t = F.trim(_c(c))
+    valid = F.try_parse_json(t).isNotNull()
+    return (F.when(~valid, F.lit(None).cast("string"))
+            .when(t.startswith("{"), "object")
+            .when(t.startswith("["), "array")
+            .when(t.startswith('"'), "string")
+            .when(t.isin("true", "false"), "boolean")
+            .when(t == "null", "null")
+            .otherwise("number"))
+
+
+_IPV4_RE = (r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+            r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$")
+
+
+def is_ipv4(c) -> Column:
+    return F.coalesce(_c(c).rlike(_IPV4_RE), F.lit(False))
+
+
+def is_ipv6(c) -> Column:
+    """is_ipv6.cue: colon-form (incl. compressed and v4-mapped)."""
+    s = _c(c)
+    shape = s.rlike(r"^[0-9A-Fa-f:.]+$") & s.contains(":") & \
+        ~s.rlike(r":::") & (F.length(s) <= 45)
+    groups = F.size(F.split(s, ":")) <= 9
+    return F.coalesce(shape & groups, F.lit(False))
+
+
+def is_string(df: DataFrame, col: str) -> bool:
+    """Schema-static analog of is_string.cue (see module docstring)."""
+    return df.schema[col].dataType.simpleString() == "string"
+
+
+def is_integer(df: DataFrame, col: str) -> bool:
+    return df.schema[col].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint")
+
+
+def is_float(df: DataFrame, col: str) -> bool:
+    return df.schema[col].dataType.simpleString() in ("float", "double")
+
+
+def is_boolean(df: DataFrame, col: str) -> bool:
+    return df.schema[col].dataType.simpleString() == "boolean"
+
+
+def is_timestamp(df: DataFrame, col: str) -> bool:
+    return df.schema[col].dataType.simpleString().startswith("timestamp")
+
+
+def is_array(df: DataFrame, col: str) -> bool:
+    return df.schema[col].dataType.simpleString().startswith("array")
+
+
+def is_object(df: DataFrame, col: str) -> bool:
+    return df.schema[col].dataType.simpleString().startswith(("struct", "map"))
+
+
+# -- find / match (find.cue, match_any.cue, match_array.cue) -------------
+
+def find(c, substring: str, from_: int = 0) -> Column:
+    """find.cue: 0-based index of the first occurrence at/after
+    `from_`, NULL when absent."""
+    pos = F.locate(substring, _c(c), pos=from_ + 1)
+    return F.when(pos > 0, pos - 1)
+
+
+def find_regex(c, pattern: str, from_: int = 0) -> Column:
+    pos = F.regexp_instr(F.substring(_c(c), from_ + 1, 1 << 30),
+                         F.lit(pattern))
+    return F.when(pos > 0, pos - 1 + from_)
+
+
+def match_any(c, patterns: list[str]) -> Column:
+    """match_any.cue: true if ANY regex matches."""
+    out = F.lit(False)
+    for p in patterns:
+        out = out | _c(c).rlike(p)
+    return out
+
+
+def match_array(arr, pattern: str, all_: bool = False) -> Column:
+    """match_array.cue: any (or all) element matches the regex."""
+    fn = F.forall if all_ else F.exists
+    return fn(_c(arr), lambda x: x.rlike(pattern))
+
+
+def match_datadog_query(query: str, default_field: str = "text") -> Column:
+    """match_datadog_query.cue — delegates to the full grammar in
+    functions/ddsearch.py (reference src/conditions/datadog_search.rs)."""
+    from vector_spark.functions.ddsearch import compile_ddsearch
+    return compile_ddsearch(query, default_field=default_field)
+
+
+# -- numbers / geo (parse_float.cue, haversine.cue,
+#    shannon_entropy.cue) ------------------------------------------------
+
+def parse_float(c) -> Column:
+    return _c(c).try_cast("double")
+
+
+_EARTH_KM = 6371.0088  # IUGG mean radius — matches the cue examples
+_KM_PER_MILE = 1.609344
+
+
+def haversine(lat1, lon1, lat2, lon2, unit: str = "kilometers") -> Column:
+    """haversine.cue: struct(distance, bearing). Great-circle distance
+    (mean-radius sphere) and initial bearing in degrees."""
+    la1, lo1 = F.radians(_c(lat1)), F.radians(_c(lon1))
+    la2, lo2 = F.radians(_c(lat2)), F.radians(_c(lon2))
+    dla, dlo = la2 - la1, lo2 - lo1
+    a = F.pow(F.sin(dla / 2), 2) + \
+        F.cos(la1) * F.cos(la2) * F.pow(F.sin(dlo / 2), 2)
+    dist_km = 2 * _EARTH_KM * F.asin(F.sqrt(a))
+    dist = dist_km / _KM_PER_MILE if unit == "miles" else dist_km
+    y = F.sin(dlo) * F.cos(la2)
+    x = F.cos(la1) * F.sin(la2) - F.sin(la1) * F.cos(la2) * F.cos(dlo)
+    bearing = (F.degrees(F.atan2(y, x)) + 360) % 360
+    return F.struct(dist.alias("distance"), bearing.alias("bearing"))
+
+
+def shannon_entropy(c) -> Column:
+    """shannon_entropy.cue (char segmentation): -Σ p·log2(p) over the
+    character distribution. Pure Column algebra — distinct chars ×
+    filter counts, O(k²) in ALPHABET size per row (k ≤ 100s), no UDF."""
+    chars = F.filter(F.split(_c(c), ""), lambda x: x != "")
+    n = F.size(chars).cast("double")
+    return F.aggregate(
+        F.array_distinct(chars), F.lit(0.0),
+        lambda acc, ch: acc - (
+            (F.size(F.filter(chars, lambda x: x == ch)) / n) *
+            F.log2(F.size(F.filter(chars, lambda x: x == ch)) / n)))
+
+
+# -- sieve (sieve.cue) ---------------------------------------------------
+
+def sieve(c, allowed_class: str, replace_single: str = "",
+          replace_repeated: str = "") -> Column:
+    """sieve.cue: keep only chars matching `allowed_class` (a regex
+    character class like ``[a-z0-9.]``); lone disallowed chars become
+    `replace_single`, runs become `replace_repeated`. Singles are
+    replaced first via lookarounds — a single is by definition flanked
+    by allowed chars, so the inserted replacement can never merge two
+    runs — then runs, so replacement text is never re-scanned."""
+    if not (allowed_class.startswith("[") and allowed_class.endswith("]")):
+        raise ValueError("sieve: pattern must be a character class [...]")
+    neg = "[^" + allowed_class[1:]
+    singles = f"(?<!{neg}){neg}(?!{neg})"
+    out = F.regexp_replace(_c(c), singles, replace_single)
+    return F.regexp_replace(out, neg + "{2,}", replace_repeated)
+
+
+# -- tokenizer / ruby hash / etld (parse_tokens.cue,
+#    parse_ruby_hash.cue, parse_etld.cue) --------------------------------
+
+_TOKEN_RE = r'(\[[^\]]*\]|"(?:\\.|[^"\\])*"|[^\s\[\]"]+)'
+
+
+def parse_tokens(c) -> Column:
+    """parse_tokens.cue: whitespace-split tokens, with "..." and [...]
+    grouping; quotes/brackets stripped, escaped quotes unescaped. One
+    regexp_extract_all pass + a transform — no UDF."""
+    toks = F.regexp_extract_all(_c(c), F.lit(_TOKEN_RE), 1)
+    return F.transform(toks, lambda t: F.when(
+        t.startswith("[") & t.endswith("]"),
+        F.substring(t, 2, F.length(t) - 2),
+    ).when(
+        t.startswith('"') & t.endswith('"'),
+        F.regexp_replace(F.substring(t, 2, F.length(t) - 2), r'\\(.)', r"$1"),
+    ).otherwise(t))
+
+
+def parse_ruby_hash(c, schema: str) -> Column:
+    """parse_ruby_hash.cue: `{"k" => "v", :sym => nil}` -> struct via
+    the documented subset — `=>` to `:`, `nil` to `null`, `:sym` keys
+    quoted — then from_json with the caller's schema."""
+    s = _c(c)
+    s = F.regexp_replace(s, r":(\w+)\s*=>", r'"$1":')
+    s = F.regexp_replace(s, r"\s*=>\s*", ":")
+    s = F.regexp_replace(s, r"\bnil\b", "null")
+    return F.from_json(s, schema)
+
+
+# Public Suffix List subset: the multi-label suffixes a log pipeline
+# actually meets (publicsuffix.org is the full source; the reference
+# vendors it — parse_etld.cue `psl` param). Longest-match-first.
+_PSL_2LABEL = [
+    "ac.uk", "co.uk", "gov.uk", "org.uk", "net.uk", "sch.uk", "ltd.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "com.br", "net.br", "org.br", "com.cn", "net.cn", "org.cn",
+    "com.mx", "co.in", "net.in", "org.in", "co.za", "com.sg",
+    "com.tr", "co.kr", "or.kr", "com.ar", "com.co", "com.hk",
+    "co.nz", "net.nz", "org.nz", "com.tw", "co.th", "com.my",
+    "com.ua", "co.il", "com.pl", "com.ru",
+]
+_PSL_1LABEL = [
+    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
+    "io", "dev", "app", "ai", "co", "me", "tv", "cc", "xyz", "cloud",
+    "uk", "jp", "de", "fr", "it", "nl", "es", "se", "no", "fi", "pl",
+    "ru", "ua", "cn", "in", "au", "br", "mx", "ar", "ca", "us", "ch",
+    "at", "be", "dk", "ie", "pt", "gr", "cz", "hu", "ro", "kr", "tw",
+    "hk", "sg", "my", "th", "il", "za", "nz", "tr", "eu",
+]
+
+
+def parse_etld(c, plus_parts: int = 0) -> Column:
+    """parse_etld.cue: struct(etld, etld_plus, known_suffix) via a
+    longest-suffix when-chain over the vendored PSL subset. Unknown TLD
+    -> last label with known_suffix=false (the cue's acmecorp case).
+    The when-chain compiles to JVM predicates — constant-folded per
+    literal suffix, no UDF, no join."""
+    s = F.lower(_c(c))
+    parts = F.split(s, r"\.")
+    n = F.size(parts)
+
+    def tail(k: int) -> Column:  # last k labels joined
+        return F.array_join(F.slice(parts, n - k + 1, k), ".")
+
+    etld = None
+    for sfx in _PSL_2LABEL:
+        cond = (n > 2) & (tail(2) == sfx)
+        etld = F.when(cond, tail(2)) if etld is None else etld.when(cond, tail(2))
+    known1 = F.lit(False)
+    for sfx in _PSL_1LABEL:
+        known1 = known1 | (tail(1) == sfx)
+    etld = etld.otherwise(tail(1))
+    known = None
+    for sfx in _PSL_2LABEL:
+        cond = (n > 2) & (tail(2) == sfx)
+        known = F.when(cond, F.lit(True)) if known is None else known.when(cond, F.lit(True))
+    known = known.otherwise(known1)
+    etld_labels = F.size(F.split(etld, r"\."))
+    plus_n = F.least(etld_labels + plus_parts, n)
+    etld_plus = F.array_join(F.slice(parts, n - plus_n + 1, plus_n), ".")
+    return F.struct(etld.alias("etld"), etld_plus.alias("etld_plus"),
+                    known.alias("known_suffix"))
+
+
+# -- syslog code maps (to_syslog_facility_code.cue,
+#    to_syslog_severity.cue) ---------------------------------------------
+
+_FACILITIES = ["kern", "user", "mail", "daemon", "auth", "syslog", "lpr",
+               "news", "uucp", "cron", "authpriv", "ftp", "ntp", "security",
+               "console", "solaris-cron", "local0", "local1", "local2",
+               "local3", "local4", "local5", "local6", "local7"]
+_SEVERITIES = ["emerg", "alert", "crit", "err", "warning", "notice",
+               "info", "debug"]
+
+
+def _name_to_code(c, names: list[str]) -> Column:
+    out = F.when(_c(c) == names[0], 0)
+    for i, nm in enumerate(names[1:], 1):
+        out = out.when(_c(c) == nm, i)
+    return out.cast("int")
+
+
+def to_syslog_facility_code(c) -> Column:
+    """to_syslog_facility_code.cue: facility keyword -> code (authpriv
+    -> 10)."""
+    return _name_to_code(c, _FACILITIES)
+
+
+def to_syslog_severity(c) -> Column:
+    """to_syslog_severity.cue: severity keyword -> code (err -> 3)."""
+    return _name_to_code(c, _SEVERITIES)
+
+
+# -- ip conversions (ip_to_ipv6.cue, ipv6_to_ipv4.cue, ip_pton.cue,
+#    ip_ntop.cue) ---------------------------------------------------------
+
+def ip_to_ipv6(c) -> Column:
+    """ip_to_ipv6.cue: v4 -> ::ffff:a.b.c.d; v6 passes through."""
+    s = _c(c)
+    return F.when(s.rlike(_IPV4_RE), F.concat(F.lit("::ffff:"), s)) \
+            .otherwise(s)
+
+
+def ipv6_to_ipv4(c) -> Column:
+    """ipv6_to_ipv4.cue: strip the ::ffff: v4-mapped prefix; plain v4
+    passes through; non-compatible v6 -> NULL (the cue's error case)."""
+    s = _c(c)
+    return (F.when(s.rlike(_IPV4_RE), s)
+            .when(s.rlike(r"(?i)^::ffff:" + _IPV4_RE[1:]),
+                  F.regexp_replace(s, r"(?i)^::ffff:", "")))
+
+
+@pandas_udf(BinaryType())
+def ip_pton(s: pd.Series) -> pd.Series:
+    """ip_pton.cue: presentation -> network bytes (4 or 16)."""
+    def conv(v):
+        if v is None:
+            return None
+        try:
+            return _socket.inet_pton(
+                _socket.AF_INET6 if ":" in v else _socket.AF_INET, v)
+        except OSError:
+            return None
+    return s.map(conv)
+
+
+@pandas_udf(StringType())
+def ip_ntop(b: pd.Series) -> pd.Series:
+    """ip_ntop.cue: 4/16 network bytes -> presentation string."""
+    def conv(v):
+        if v is None:
+            return None
+        raw = bytes(v)
+        try:
+            return _socket.inet_ntop(
+                _socket.AF_INET if len(raw) == 4 else _socket.AF_INET6, raw)
+        except (OSError, ValueError):
+            return None
+    return b.map(conv)
+
+
+# -- uuid (uuid_v7.cue, uuid_from_friendly_id.cue) -----------------------
+
+def uuid_v7(ts, salt) -> Column:
+    """uuid_v7.cue shape: 48-bit unix-millis prefix, version 7, RFC
+    variant. The 74 random bits are derived from xxhash64(salt) so the
+    value is DETERMINISTIC per (ts, salt) — the property correctness
+    checks need (real v7 randomness is banned from oracle paths, same
+    policy as uuid_v4 — see functions/vrl.py module doc)."""
+    ms = (F.unix_timestamp(_c(ts)) * 1000 +
+          (F.date_format(_c(ts), "SSS")).cast("long"))
+    ms_hex = F.lpad(F.lower(F.hex(ms)), 12, "0")
+    h = F.lower(F.hex(F.xxhash64(_c(salt))))
+    rnd = F.rpad(h, 19, "0")
+    return F.concat_ws(
+        "-",
+        F.substring(ms_hex, 1, 8),
+        F.substring(ms_hex, 9, 4),
+        F.concat(F.lit("7"), F.substring(rnd, 1, 3)),
+        F.concat(F.lit("8"), F.substring(rnd, 4, 3)),
+        F.substring(rnd, 7, 12))
+
+
+_B62 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_B62_IDX = {ch: i for i, ch in enumerate(_B62)}
+
+
+def uuid_from_friendly_id_py(fid: str) -> str:
+    n = 0
+    for ch in fid:
+        n = n * 62 + _B62_IDX[ch]
+    h = f"{n:032x}"
+    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
+
+
+@pandas_udf(StringType())
+def uuid_from_friendly_id(s: pd.Series) -> pd.Series:
+    """uuid_from_friendly_id.cue: base62 -> canonical UUID (cue vector
+    checked in tests/test_vrl_more.py)."""
+    return s.map(lambda v: None if v is None else uuid_from_friendly_id_py(v))
+
+
+# -- hashing (sha3.cue, community_id.cue) --------------------------------
+
+def sha3_py(data: bytes, variant: str = "SHA3-512") -> str:
+    import hashlib
+    return getattr(hashlib, variant.replace("SHA3-", "sha3_"))(data).hexdigest()
+
+
+def sha3(c, variant: str = "SHA3-512") -> Column:
+    """sha3.cue: SHA3-224/256/384/512 hex digest (hashlib, Arrow
+    batch — Spark ships sha2 only)."""
+    @pandas_udf(StringType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else
+                     sha3_py(v.encode() if isinstance(v, str) else bytes(v),
+                             variant))
+    return _udf(_c(c))
+
+
+def community_id_py(saddr: str, daddr: str, sport: int, dport: int,
+                    proto: int, seed: int = 0) -> str:
+    """Community ID v1 (public spec, github.com/corelight/community-id-spec;
+    community_id.cue): seed_be16 || ip || ip || proto || 0 || port_be16
+    pairs with flow normalization, sha1, base64. Cue vector checked in
+    tests."""
+    import base64
+    import hashlib
+
+    def ipb(a: str) -> bytes:
+        return _socket.inet_pton(
+            _socket.AF_INET6 if ":" in a else _socket.AF_INET, a)
+    sab, dab = ipb(saddr), ipb(daddr)
+    spb = int(sport).to_bytes(2, "big")
+    dpb = int(dport).to_bytes(2, "big")
+    if (sab, spb) > (dab, dpb):
+        sab, dab, spb, dpb = dab, sab, dpb, spb
+    payload = (int(seed).to_bytes(2, "big") + sab + dab +
+               bytes([proto, 0]) + spb + dpb)
+    return "1:" + base64.b64encode(hashlib.sha1(payload).digest()).decode()
+
+
+def community_id(saddr, daddr, sport, dport, proto, seed: int = 0) -> Column:
+    @pandas_udf(StringType())
+    def _udf(sa: pd.Series, da: pd.Series, sp: pd.Series, dp: pd.Series,
+             pr: pd.Series) -> pd.Series:
+        return pd.Series([
+            None if sa.iat[i] is None or da.iat[i] is None else
+            community_id_py(sa.iat[i], da.iat[i], int(sp.iat[i]),
+                            int(dp.iat[i]), int(pr.iat[i]), seed)
+            for i in range(len(sa))])
+    return _udf(_c(saddr), _c(daddr), _c(sport), _c(dport), _c(proto))
+
+
+# -- charset / mime (encode_charset.cue, decode_charset.cue,
+#    decode_mime_q.cue) ---------------------------------------------------
+
+def encode_charset(c, charset: str) -> Column:
+    """encode_charset.cue: UTF-8 text -> bytes in `charset`."""
+    @pandas_udf(BinaryType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else
+                     v.encode(charset, errors="replace"))
+    return _udf(_c(c))
+
+
+def decode_charset(c, charset: str) -> Column:
+    @pandas_udf(StringType())
+    def _udf(b: pd.Series) -> pd.Series:
+        return b.map(lambda v: None if v is None else
+                     bytes(v).decode(charset, errors="replace"))
+    return _udf(_c(c))
+
+
+@pandas_udf(StringType())
+def decode_mime_q(s: pd.Series) -> pd.Series:
+    """decode_mime_q.cue: RFC2047 encoded-words via email.header."""
+    from email.header import decode_header
+
+    def conv(v):
+        if v is None:
+            return None
+        out = []
+        for frag, enc in decode_header(v):
+            out.append(frag.decode(enc or "ascii", errors="replace")
+                       if isinstance(frag, bytes) else frag)
+        return "".join(out)
+    return s.map(conv)
+
+
+# -- crypto (encrypt.cue, decrypt.cue, encrypt_ip.cue, decrypt_ip.cue,
+#    validate_json_schema.cue) -- cryptography + jsonschema ARE in this
+#    container, so these are real, not gated ------------------------------
+
+def _aes_cipher(algorithm: str, key: bytes, iv: bytes):
+    from cryptography.hazmat.primitives.ciphers import (Cipher, algorithms,
+                                                        modes)
+    try:  # CFB/OFB moved to decrepit in newer cryptography releases
+        from cryptography.hazmat.decrepit.ciphers.modes import CFB, OFB
+    except ImportError:
+        CFB, OFB = modes.CFB, modes.OFB
+    mode_name = algorithm.rsplit("-", 1)[1]
+    mode = {"CFB": CFB, "CBC": modes.CBC, "CTR": modes.CTR,
+            "OFB": OFB}[mode_name](iv)
+    return Cipher(algorithms.AES(key), mode)
+
+
+def encrypt_py(plaintext: bytes, algorithm: str, key: bytes,
+               iv: bytes) -> bytes:
+    """encrypt.cue: AES-{128,192,256}-{CFB,CBC,CTR,OFB}. CBC pads
+    PKCS7, stream modes don't (the cue's documented behavior)."""
+    enc = _aes_cipher(algorithm, key, iv).encryptor()
+    if algorithm.endswith("CBC"):
+        from cryptography.hazmat.primitives import padding
+        p = padding.PKCS7(128).padder()
+        plaintext = p.update(plaintext) + p.finalize()
+    return enc.update(plaintext) + enc.finalize()
+
+
+def decrypt_py(ciphertext: bytes, algorithm: str, key: bytes,
+               iv: bytes) -> bytes:
+    dec = _aes_cipher(algorithm, key, iv).decryptor()
+    out = dec.update(ciphertext) + dec.finalize()
+    if algorithm.endswith("CBC"):
+        from cryptography.hazmat.primitives import padding
+        u = padding.PKCS7(128).unpadder()
+        out = u.update(out) + u.finalize()
+    return out
+
+
+def encrypt(c, algorithm: str, key: str, iv: str) -> Column:
+    kb, ib = key.encode(), iv.encode()
+
+    @pandas_udf(BinaryType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else
+                     encrypt_py(v.encode() if isinstance(v, str)
+                                else bytes(v), algorithm, kb, ib))
+    return _udf(_c(c))
+
+
+def decrypt(c, algorithm: str, key: str, iv: str) -> Column:
+    kb, ib = key.encode(), iv.encode()
+
+    @pandas_udf(StringType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else
+                     decrypt_py(bytes(v), algorithm, kb, ib).decode())
+    return _udf(_c(c))
+
+
+def encrypt_ip_py(ip: str, key: bytes) -> str:
+    """encrypt_ip.cue aes128 mode: one AES-128-ECB block over the
+    16-byte (v4-mapped) address, rendered as IPv6 — format-preserving,
+    deterministic (ipcrypt-deterministic public spec). Cue vector
+    checked in tests."""
+    from cryptography.hazmat.primitives.ciphers import (Cipher, algorithms,
+                                                        modes)
+    raw = (_socket.inet_pton(_socket.AF_INET6, ip) if ":" in ip else
+           b"\x00" * 10 + b"\xff\xff" +
+           _socket.inet_pton(_socket.AF_INET, ip))
+    enc = Cipher(algorithms.AES(key), modes.ECB()).encryptor()
+    return _socket.inet_ntop(_socket.AF_INET6,
+                             enc.update(raw) + enc.finalize())
+
+
+def decrypt_ip_py(ip6: str, key: bytes) -> str:
+    from cryptography.hazmat.primitives.ciphers import (Cipher, algorithms,
+                                                        modes)
+    raw = _socket.inet_pton(_socket.AF_INET6, ip6)
+    dec = Cipher(algorithms.AES(key), modes.ECB()).decryptor()
+    out = dec.update(raw) + dec.finalize()
+    if out[:12] == b"\x00" * 10 + b"\xff\xff":
+        return _socket.inet_ntop(_socket.AF_INET, out[12:])
+    return _socket.inet_ntop(_socket.AF_INET6, out)
+
+
+def encrypt_ip(c, key: str) -> Column:
+    kb = key.encode()
+
+    @pandas_udf(StringType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else encrypt_ip_py(v, kb))
+    return _udf(_c(c))
+
+
+def decrypt_ip(c, key: str) -> Column:
+    kb = key.encode()
+
+    @pandas_udf(StringType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else decrypt_ip_py(v, kb))
+    return _udf(_c(c))
+
+
+def validate_json_schema(c, schema: dict) -> Column:
+    """validate_json_schema.cue: true when the JSON text validates.
+    The compiled validator is built once per executor (closure)."""
+    import json
+
+    @pandas_udf(BooleanType())
+    def _udf(s: pd.Series) -> pd.Series:
+        import jsonschema
+        validator = jsonschema.Draft202012Validator(schema)
+
+        def check(v):
+            if v is None:
+                return None
+            try:
+                return not list(validator.iter_errors(json.loads(v)))
+            except (ValueError, TypeError):
+                return False
+        return s.map(check)
+    return _udf(_c(c))
+
+
+# -- replace_with (replace_with.cue): the per-match closure genuinely
+#    needs Python; Arrow-batched factory, documented slow path ------------
+
+def replace_with(pattern: str, fn, count: int = 0):
+    """replace_with.cue: regex replace where `fn(match) -> str` runs
+    per match (fn receives an re.Match). Returns a Column transformer;
+    this is the sanctioned Python escape hatch (same tier as
+    operators/script.py) — prefer regexp_replace with $n backrefs when
+    the rewrite is static."""
+    import re
+    rx = re.compile(pattern)
+
+    @pandas_udf(StringType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else
+                     rx.sub(lambda m: fn(m), v, count=count))
+    return _udf
+
+
+# -- environment / session (now.cue, get_hostname.cue,
+#    get_timezone_name.cue, random_*.cue) ---------------------------------
+
+def now() -> Column:
+    return F.current_timestamp()
+
+
+def get_hostname() -> Column:
+    """get_hostname.cue: driver hostname as a literal (VRL evaluates it
+    once per event on one machine; the Spark analog is per-job)."""
+    return F.lit(_socket.gethostname())
+
+
+def get_timezone_name(spark) -> Column:
+    return F.lit(spark.conf.get("spark.sql.session.timeZone"))
+
+
+def random_float(min_, max_, seed: int | None = None) -> Column:
+    """random_float.cue — F.rand; seedable for test determinism."""
+    r = F.rand(seed) if seed is not None else F.rand()
+    return _c(min_) + r * (_c(max_) - _c(min_))
+
+
+def random_int(min_, max_, seed: int | None = None) -> Column:
+    return F.floor(random_float(min_, max_, seed)).cast("long")
+
+
+def random_bool(seed: int | None = None) -> Column:
+    return (F.rand(seed) if seed is not None else F.rand()) < 0.5
+
+
+def random_bytes(length: int, seed: int | None = None) -> Column:
+    """random_bytes.cue: `length` pseudo-random bytes from chained
+    xxhash64 of a seeded rand — JVM-side, no UDF."""
+    r = (F.rand(seed) if seed is not None else F.rand()) * (1 << 52)
+    blocks = [F.lpad(F.hex(F.xxhash64(r.cast("long") + i)), 16, "0")
+              for i in range((length * 2 + 15) // 16)]
+    return F.unhex(F.substring(F.concat(*blocks), 1, length * 2))
+
+
+def assert_eq(a, b, message: str = "assert_eq failed") -> Column:
+    """assert_eq.cue -> F.assert_true (fails the task, VRL fails the
+    event — documented delta; use operators/remap.py dropped-port
+    routing for per-event failure)."""
+    return F.assert_true(_c(a) == _c(b), F.lit(message))
+
+
+# -- secrets (get_secret.cue, set_secret.cue, remove_secret.cue):
+#    secrets ride along as a map<string,string> column --------------------
+
+SECRETS_COL = "__secrets"
+
+
+def get_secret(df_or_map, key) -> Column:
+    m = (F.col(SECRETS_COL) if isinstance(df_or_map, DataFrame)
+         else _c(df_or_map))
+    return F.element_at(m, _c(key))
+
+
+def set_secret(m, key, value) -> Column:
+    return F.map_concat(
+        F.map_filter(_c(m), lambda k, v: k != _c(key)),
+        F.create_map(_c(key), _c(value)))
+
+
+def remove_secret(m, key) -> Column:
+    return F.map_filter(_c(m), lambda k, v: k != _c(key))
+
+
+def set_semantic_meaning(c, meaning: str) -> Column:
+    """set_semantic_meaning.cue: attach the meaning as Spark column
+    metadata (schema-level, like the reference's semantic registry)."""
+    return _c(c).alias("", metadata={"semantic_meaning": meaning})
+
+
+# -- unflatten (unflatten.cue) -------------------------------------------
+
+@pandas_udf(StringType())
+def unflatten_json(m: pd.Series) -> pd.Series:
+    """unflatten.cue over map<string,string>: dotted keys -> nested
+    object, returned as a JSON string (pair with from_json when the
+    target schema is known)."""
+    import json
+
+    def conv(v):
+        if v is None:
+            return None
+        root: dict = {}
+        for k, val in v.items():
+            cur = root
+            parts = k.split(".")
+            for p in parts[:-1]:
+                nxt = cur.get(p)
+                if not isinstance(nxt, dict):
+                    nxt = {}
+                    cur[p] = nxt
+                cur = nxt
+            cur[parts[-1]] = val
+        return json.dumps(root, sort_keys=True)
+    return m.map(conv)
+
+
+# -- parse_influxdb (parse_influxdb.cue; line-protocol public spec) -------
+
+_ESC_COMMA, _ESC_SPACE, _ESC_EQ = "\x02", "\x03", "\x04"
+
+
+def _unsentinel(c: Column) -> Column:
+    out = F.regexp_replace(c, _ESC_COMMA, ",")
+    out = F.regexp_replace(out, _ESC_SPACE, " ")
+    return F.regexp_replace(out, _ESC_EQ, "=")
+
+
+def parse_influxdb(c) -> Column:
+    """parse_influxdb.cue: one line-protocol string -> array of
+    metric-shaped structs (name = measurement_fieldkey, tags, timestamp,
+    kind='absolute', gauge.value). All gauge doubles per the cue: `64i`/
+    `10u` ints, floats, booleans as 1.0/0.0; string fields are dropped
+    (the reference errors — documented lenient delta, same policy as the
+    NULL-parse contract in functions/parse.py). Identifier escapes
+    (`\\,` `\\ ` `\\=`) handled via sentinel substitution — the whole
+    parse is 3 regexp passes + splits, no UDF."""
+    s = _c(c)
+    s = F.regexp_replace(s, r"\\,", _ESC_COMMA)
+    s = F.regexp_replace(s, r"\\ ", _ESC_SPACE)
+    s = F.regexp_replace(s, r"\\=", _ESC_EQ)
+    sections = F.split(s, " ")
+    head = F.split(F.element_at(sections, 1), ",")
+    measurement = _unsentinel(F.element_at(head, 1))
+    tags = F.map_from_entries(F.transform(
+        F.slice(head, 2, F.greatest(F.size(head) - 1, F.lit(0))),
+        lambda kv: F.struct(
+            _unsentinel(F.element_at(F.split(kv, "="), 1)).alias("key"),
+            _unsentinel(F.element_at(F.split(kv, "="), 2)).alias("value"))))
+    # timestamp = LAST section when it's all digits — robust to quoted
+    # string fields containing spaces (those fields are dropped below,
+    # but they must not shift the timestamp position)
+    ts_raw = F.element_at(sections, -1)
+    ts_ns = F.when((F.size(sections) >= 3) & ts_raw.rlike(r"^-?\d+$"),
+                   ts_raw.try_cast("long"))
+    ts = F.timestamp_micros((ts_ns / 1000).cast("long"))
+    fields = F.split(F.element_at(sections, 2), ",")
+
+    def fval(kv: Column) -> Column:
+        v = F.element_at(F.split(kv, "="), 2)
+        return (F.when(v.rlike(r"^-?\d+[iu]$"),
+                       F.regexp_replace(v, "[iu]$", "").cast("double"))
+                .when(v.isin("true", "t", "T", "True", "TRUE"), 1.0)
+                .when(v.isin("false", "f", "F", "False", "FALSE"), 0.0)
+                .otherwise(v.try_cast("double")))
+
+    metrics = F.transform(fields, lambda kv: F.struct(
+        F.concat(measurement, F.lit("_"),
+                 _unsentinel(F.element_at(F.split(kv, "="), 1))).alias("name"),
+        tags.alias("tags"),
+        ts.alias("timestamp"),
+        F.lit("absolute").alias("kind"),
+        F.struct(fval(kv).alias("value")).alias("gauge")))
+    return F.filter(metrics,
+                    lambda m: m.getField("gauge").getField("value").isNotNull())
+
+
+# -- gated: bindings absent from this container ---------------------------
+
+def _gated(name: str, modules: tuple[str, ...]):
+    raise ImportError(
+        f"{name}: none of {modules} is installed in this environment. "
+        f"The VRL function {name} ({name}.cue) needs one — install on "
+        "the cluster; the pandas-UDF wiring above (sha3/community_id) "
+        "shows the exact pattern to slot a binding into.")
+
+
+def parse_cbor(*_a, **_k):
+    """parse_cbor.cue — gated: no cbor binding in the sandbox."""
+    _gated("parse_cbor", ("cbor2", "cbor"))
+
+
+def parse_proto(*_a, **_k):
+    """parse_proto.cue — gated: protobuf absent from the sandbox."""
+    _gated("parse_proto", ("google.protobuf",))
+
+
+def encode_proto(*_a, **_k):
+    """encode_proto.cue — gated: protobuf absent from the sandbox."""
+    _gated("encode_proto", ("google.protobuf",))
+
+
+def parse_dnstap(*_a, **_k):
+    """parse_dnstap.cue — gated: dnstap is protobuf-framed."""
+    _gated("parse_dnstap", ("google.protobuf", "dnstap_pb"))
+
+
+# -- remaining name-parity wrappers ---------------------------------------
+# These VRL functions map 1:1 onto machinery that already lives elsewhere
+# in the repo; the wrappers pin the VRL name to the implementation so a
+# remap program translates term-for-term.
+
+def split_path(c) -> Column:
+    """Path -> non-empty segment array (companion to basename/dirname)."""
+    return F.filter(F.split(_c(c), "/"), lambda x: x != "")
+
+
+def to_regex(pattern: str) -> str:
+    """to_regex.cue: VRL compiles a string to a regex value at runtime;
+    the Spark analog validates at plan-build time and returns the
+    pattern for rlike/regexp_* (fails fast like the reference's
+    fallible call)."""
+    import re
+    re.compile(pattern)
+    return pattern
+
+
+def is_regex(_df=None, _col=None) -> bool:
+    """is_regex.cue: Spark has no regex column type — regexes are plan
+    literals here — so a column value is never a regex."""
+    return False
+
+
+def tag_types_externally(c, dtype: str) -> Column:
+    """tag_types_externally.cue: wrap the value in a one-key object
+    named after its type (`{"string": ...}`) — the reference's external
+    type-tagged JSON encoding."""
+    return F.to_json(F.struct(_c(c).alias(dtype)))
+
+
+def encode_key_value(df: DataFrame, cols: list[str] | None = None) -> Column:
+    """encode_key_value.cue -> sinks/encode.py logfmt encoder (same
+    k=v quoting/escape rules; parse_key_value round-trips it)."""
+    from vector_spark.sinks.encode import encode_logfmt
+    return encode_logfmt(df, cols)
+
+
+def get_enrichment_table_record(df: DataFrame, table: DataFrame, on: str,
+                                **kw) -> DataFrame:
+    """get_enrichment_table_record.cue: single-row lookup — the
+    broadcast equals-join with the uniqueness assertion the reference's
+    single-record contract implies (operators/enrich.py)."""
+    from vector_spark.operators.enrich import enrich_equals
+    return enrich_equals(df, table, on, assert_unique=True, **kw)
+
+
+def find_enrichment_table_records(df: DataFrame, table: DataFrame, on: str,
+                                  **kw) -> DataFrame:
+    """find_enrichment_table_records.cue: all matching rows (no
+    uniqueness assertion; inner-join multiplicity preserved)."""
+    from vector_spark.operators.enrich import enrich_equals
+    return enrich_equals(df, table, on, assert_unique=False, **kw)
+
+
+def find_vector_metrics(spark, telemetry_dir: str, metric: str) -> DataFrame:
+    """find_vector_metrics.cue analog over the telemetry table
+    (plans/topology.py write_telemetry)."""
+    return (spark.read.parquet(telemetry_dir)
+            .filter(F.col("metric") == metric))
+
+
+def get_vector_metric(spark, telemetry_dir: str, metric: str,
+                      component_id: str):
+    """get_vector_metric.cue: latest value of one component's metric."""
+    row = (spark.read.parquet(telemetry_dir)
+           .filter((F.col("metric") == metric) &
+                   (F.col("component_id") == component_id))
+           .orderBy(F.desc("run_ts")).select("value").first())
+    return None if row is None else row["value"]
+
+
+def aggregate_vector_metrics(spark, telemetry_dir: str) -> DataFrame:
+    """aggregate_vector_metrics.cue analog: per-(component, metric)
+    totals — same shape plans/topology.top_components summarizes."""
+    return (spark.read.parquet(telemetry_dir)
+            .groupBy("component_id", "metric")
+            .agg(F.sum("value").alias("total"),
+                 F.count("*").alias("n_samples")))
+
+
+def decode_zstd_gated(*_a, **_k):
+    """decode_zstd.cue — same gate as the encoder (codecs.py)."""
+    from vector_spark.functions.codecs import encode_zstd_gated
+    encode_zstd_gated()
+
+
+def decode_snappy_gated(*_a, **_k):
+    """decode_snappy.cue — same gate as the encoder (codecs.py)."""
+    from vector_spark.functions.codecs import encode_snappy_gated
+    encode_snappy_gated()
+
+
+def decode_lz4_gated(*_a, **_k):
+    """decode_lz4.cue — same gate as the encoder (codecs.py)."""
+    from vector_spark.functions.codecs import encode_lz4_gated
+    encode_lz4_gated()
