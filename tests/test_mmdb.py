@@ -1,0 +1,92 @@
+"""MaxMind DB binary format tests (sources/mmdb.py; reference
+src/enrichment_tables/mmdb.rs, geoip.rs:531)."""
+
+import ipaddress
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.sources.mmdb import (DEMO_NETWORKS, MmdbReader,
+                                       decode_value, encode_value,
+                                       enrich_mmdb, ensure_demo_mmdb,
+                                       mmdb_to_cidr_table, write_mmdb)
+
+NETS = [
+    ("8.8.8.0/24", {"country": {"iso_code": "US",
+                                "names": {"en": "United States",
+                                          "fr": "États-Unis"}},
+                    "location": {"latitude": 37.4, "longitude": -122.1},
+                    "is_anycast": True, "asn": 15169}),
+    ("192.168.0.0/16", {"country": {"iso_code": "PR"}, "asn": 0}),
+    ("10.0.0.0/8", {"country": {"iso_code": "AA"}, "asn": 64512}),
+    ("10.1.0.0/16", {"country": {"iso_code": "BB"}, "asn": 64513}),
+]
+
+
+def _lookup(networks, ip):
+    a = ipaddress.ip_address(ip)
+    best = None
+    for cidr, rec in networks:
+        n = ipaddress.ip_network(cidr)
+        if a in n and (best is None or n.prefixlen > best[0]):
+            best = (n.prefixlen, rec)
+    return best[1] if best else None
+
+
+def test_value_codec_roundtrip():
+    for v in ("héllo", 0, 255, 65536, -5, 3.25, True, False,
+              b"\x00\x01", ["a", 1, 2.5], {"k": {"n": 7}, "arr": [1, 2]}):
+        blob = encode_value(v)
+        got, off = decode_value(blob, 0)
+        assert got == v and off == len(blob), v
+
+
+@pytest.mark.parametrize("record_size", [24, 28, 32])
+def test_tree_roundtrip_longest_prefix(tmp_path, record_size):
+    p = str(tmp_path / f"t{record_size}.mmdb")
+    write_mmdb(p, NETS, record_size=record_size, build_epoch=1600000000)
+    r = MmdbReader.open(p)
+    assert r.record_size == record_size
+    assert r.metadata["binary_format_major_version"] == 2
+    nets = list(r.networks())
+    # nested 10.1/16-in-10/8 materializes as replicated leaves (like
+    # real MaxMind trees); lookup semantics must be longest-prefix exact
+    assert _lookup(nets, "8.8.8.8")["country"]["iso_code"] == "US"
+    assert _lookup(nets, "8.8.8.8")["is_anycast"] is True
+    assert _lookup(nets, "10.1.2.3")["asn"] == 64513
+    assert _lookup(nets, "10.200.2.3")["asn"] == 64512
+    assert _lookup(nets, "192.168.5.5")["country"]["iso_code"] == "PR"
+    assert _lookup(nets, "1.1.1.1") is None
+
+
+def test_mmdb_to_cidr_table_types(spark, tmp_path):
+    p = str(tmp_path / "t.mmdb")
+    write_mmdb(p, NETS, build_epoch=1600000000)
+    t = mmdb_to_cidr_table(spark, p)
+    dt = dict(t.dtypes)
+    assert dt["country_iso_code"] == "string"
+    assert dt["asn"] == "bigint"
+    assert dt["location_latitude"] == "double"
+    assert dt["is_anycast"] == "boolean"
+    # only the en locale survives flattening
+    assert "country_names_fr" not in dt and "country_names_en" in dt
+
+
+def test_enrich_mmdb_lookup(spark, tmp_path):
+    p = str(tmp_path / "t.mmdb")
+    write_mmdb(p, NETS, build_epoch=1600000000)
+    d = spark.createDataFrame(
+        [("10.1.2.3",), ("10.9.9.9",), ("192.168.1.1",), ("1.1.1.1",),
+         ("8.8.8.8",)], ["ip"])
+    got = {r["ip"]: (r["country_iso_code"], r["asn"])
+           for r in enrich_mmdb(d, p, "ip").collect()}
+    assert got == {"10.1.2.3": ("BB", 64513), "10.9.9.9": ("AA", 64512),
+                   "192.168.1.1": ("PR", 0), "1.1.1.1": (None, None),
+                   "8.8.8.8": ("US", 15169)}
+
+
+def test_demo_fixture_deterministic(tmp_path):
+    p1 = ensure_demo_mmdb()
+    p2 = str(tmp_path / "again.mmdb")
+    write_mmdb(p2, DEMO_NETWORKS, record_size=28, build_epoch=1600000000)
+    assert open(p1, "rb").read() == open(p2, "rb").read()

@@ -724,6 +724,34 @@ def q_parse_influxdb(spark, sf_dir):
         F.col("m.gauge.value").alias("gauge_value"))
 
 
+def q_enrich_mmdb(spark, sf_dir):
+    """mmdb binary-format enrichment (sources/mmdb.py; reference
+    src/enrichment_tables/mmdb.rs): the deterministic demo .mmdb is
+    decoded driver-side once, then the /8-bucket broadcast range join
+    (operators/geoip.py) — longest-prefix 10.1/16-inside-10/8 nesting
+    exercised, plus a no-match quadrant."""
+    from vector_spark.sources.mmdb import enrich_mmdb, ensure_demo_mmdb
+
+    t = _transcripts(spark, sf_dir)
+    oct3 = (F.col("turn_idx") % 250).cast("string")
+    oct4 = (1 + F.col("turn_idx") % 254).cast("string")
+    ip = (F.when(F.col("turn_idx") % 4 == 0,
+                 F.concat(F.lit("10.1."), oct3, F.lit("."), oct4))
+          .when(F.col("turn_idx") % 4 == 1,
+                F.concat(F.lit("10.200."), oct3, F.lit("."), oct4))
+          .when(F.col("turn_idx") % 4 == 2,
+                F.concat(F.lit("192.168."), oct3, F.lit("."), oct4))
+          .otherwise(F.concat(F.lit("172.30."), oct3, F.lit("."), oct4)))
+    d = t.select("conv_id", "turn_idx", ip.alias("client_ip"))
+    out = enrich_mmdb(d, ensure_demo_mmdb(), "client_ip",
+                      fields=["country.iso_code", "country.names.en", "asn"])
+    return out.select(
+        "conv_id", "turn_idx", "client_ip",
+        F.col("country_iso_code").alias("geo_iso"),
+        F.col("country_names_en").alias("geo_name"),
+        F.col("asn").alias("geo_asn"))
+
+
 def q_ddsearch_filter(spark, sf_dir):
     """Datadog-search syntax condition over the parsed stream
     (functions/ddsearch.py; reference src/conditions/datadog_search.rs):
@@ -1420,6 +1448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vrl_shape_text_funcs": q_vrl_shape_text_funcs,
     "vrl_net_crypto_funcs": q_vrl_net_crypto_funcs,
     "parse_influxdb": q_parse_influxdb,
+    "enrich_mmdb_geoip": q_enrich_mmdb,
     "ddsearch_filter": q_ddsearch_filter,
     "parse_key_value_roundtrip": q_parse_key_value,
     "remap_dropped_port": q_remap_dropped,
@@ -1929,6 +1958,19 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
                     ELSE 1.0 END AS gauge_value
       FROM read_parquet('{tp}')
       CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2) _r"""
+
+    _mm_ip = ("CASE turn_idx % 4 WHEN 0 THEN '10.1.' WHEN 1 THEN '10.200.'"
+              " WHEN 2 THEN '192.168.' ELSE '172.30.' END"
+              " || (turn_idx % 250) || '.' || (1 + turn_idx % 254)")
+    o["enrich_mmdb_geoip"] = f"""SELECT conv_id, turn_idx,
+             {_mm_ip} AS client_ip,
+             CASE turn_idx % 4 WHEN 0 THEN 'BB' WHEN 1 THEN 'AA'
+                  WHEN 2 THEN 'PR' END AS geo_iso,
+             CASE turn_idx % 4 WHEN 0 THEN 'Beta' WHEN 1 THEN 'Alpha'
+                  WHEN 2 THEN 'Private' END AS geo_name,
+             CAST(CASE turn_idx % 4 WHEN 0 THEN 64513 WHEN 1 THEN 64512
+                  WHEN 2 THEN 0 END AS BIGINT) AS geo_asn
+      FROM read_parquet('{tp}')"""
 
     o["memory_feedback_lookup"] = f"""SELECT t.conv_id, t.turn_idx, t.tool,
              m.tool_seen_count

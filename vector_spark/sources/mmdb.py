@@ -1,0 +1,395 @@
+"""MaxMind DB (.mmdb) binary format — reader + fixture writer.
+
+Closes the reference's mmdb enrichment path
+(src/enrichment_tables/mmdb.rs, src/enrichment_tables/geoip.rs:531): a
+user with a real GeoLite2/GeoIP2 file loads it here. The format spec is
+public (maxmind.github.io/MaxMind-DB): a binary search tree over IP
+bits, a type-tagged data section, and a metadata map after the
+``\\xab\\xcd\\xefMaxMind.com`` marker.
+
+Spark shape: the file is decoded ONCE driver-side into a (cidr, attrs)
+table — mmdb files are broadcast-sized by construction (a full
+GeoLite2-City is ~60 MB) — and lookup goes through the existing
+disjoint-interval /8-bucket BroadcastHashJoin in operators/geoip.py.
+The 100-TB fact side never touches Python: decode cost is O(file), paid
+once per job, not per row.
+
+The writer exists for deterministic test fixtures (all three record
+sizes the wild uses: 24/28/32-bit); it is NOT a production encoder.
+"""
+
+from __future__ import annotations
+
+import struct
+import time
+
+METADATA_MARKER = b"\xab\xcd\xefMaxMind.com"
+DATA_SEPARATOR = b"\x00" * 16
+
+# -- data-section decoder --------------------------------------------------
+
+_T_POINTER, _T_STRING, _T_DOUBLE, _T_BYTES = 1, 2, 3, 4
+_T_UINT16, _T_UINT32, _T_MAP, _T_INT32 = 5, 6, 7, 8
+_T_UINT64, _T_UINT128, _T_ARRAY = 9, 10, 11
+_T_BOOL, _T_FLOAT = 14, 15
+
+
+def _read_size(buf: bytes, off: int, size_bits: int) -> tuple[int, int]:
+    if size_bits < 29:
+        return size_bits, off
+    if size_bits == 29:
+        return 29 + buf[off], off + 1
+    if size_bits == 30:
+        return 285 + int.from_bytes(buf[off:off + 2], "big"), off + 2
+    return 65821 + int.from_bytes(buf[off:off + 3], "big"), off + 3
+
+
+def decode_value(buf: bytes, off: int, data_start: int = 0):
+    """Decode one value at ``off`` (absolute); returns (value, next_off).
+    ``data_start`` anchors pointer resolution (absolute offset of the
+    data section)."""
+    ctrl = buf[off]
+    off += 1
+    typ = ctrl >> 5
+    size_bits = ctrl & 0x1F
+    if typ == 0:  # extended type
+        typ = buf[off] + 7
+        off += 1
+    if typ == _T_POINTER:
+        ss = (size_bits >> 3) & 0x3
+        v = size_bits & 0x7
+        if ss == 0:
+            ptr = (v << 8) | buf[off]
+            off += 1
+        elif ss == 1:
+            ptr = ((v << 16) | int.from_bytes(buf[off:off + 2], "big")) + 2048
+            off += 2
+        elif ss == 2:
+            ptr = ((v << 24) | int.from_bytes(buf[off:off + 3], "big")) + 526336
+            off += 3
+        else:
+            ptr = int.from_bytes(buf[off:off + 4], "big")
+            off += 4
+        val, _ = decode_value(buf, data_start + ptr, data_start)
+        return val, off
+    if typ == _T_BOOL:  # value lives in the size field, no payload
+        return bool(size_bits), off
+    size, off = _read_size(buf, off, size_bits)
+    if typ == _T_STRING:
+        return buf[off:off + size].decode("utf-8"), off + size
+    if typ == _T_DOUBLE:
+        return struct.unpack(">d", buf[off:off + 8])[0], off + 8
+    if typ == _T_FLOAT:
+        return struct.unpack(">f", buf[off:off + 4])[0], off + 4
+    if typ == _T_BYTES:
+        return buf[off:off + size], off + size
+    if typ in (_T_UINT16, _T_UINT32, _T_UINT64, _T_UINT128):
+        return int.from_bytes(buf[off:off + size], "big"), off + size
+    if typ == _T_INT32:
+        return int.from_bytes(buf[off:off + size], "big", signed=True), \
+            off + size
+    if typ == _T_MAP:
+        out = {}
+        for _ in range(size):
+            k, off = decode_value(buf, off, data_start)
+            v, off = decode_value(buf, off, data_start)
+            out[k] = v
+        return out, off
+    if typ == _T_ARRAY:
+        items = []
+        for _ in range(size):
+            v, off = decode_value(buf, off, data_start)
+            items.append(v)
+        return items, off
+    raise ValueError(f"mmdb: unsupported type {typ} at offset {off}")
+
+
+# -- reader ---------------------------------------------------------------
+
+class MmdbReader:
+    """Parses metadata + search tree; enumerates (cidr, record) rows."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        marker_at = data.rfind(METADATA_MARKER)
+        if marker_at < 0:
+            raise ValueError("mmdb: metadata marker not found")
+        self.metadata, _ = decode_value(data, marker_at + len(METADATA_MARKER))
+        self.node_count = self.metadata["node_count"]
+        self.record_size = self.metadata["record_size"]
+        self.ip_version = self.metadata.get("ip_version", 4)
+        self.node_bytes = self.record_size * 2 // 8
+        self.tree_size = self.node_count * self.node_bytes
+        self.data_start = self.tree_size + len(DATA_SEPARATOR)
+
+    @classmethod
+    def open(cls, path: str) -> "MmdbReader":
+        with open(path, "rb") as f:
+            return cls(f.read())
+
+    def _record(self, node: int, side: int) -> int:
+        b = self.data[node * self.node_bytes:(node + 1) * self.node_bytes]
+        if self.record_size == 24:
+            return int.from_bytes(b[0:3] if side == 0 else b[3:6], "big")
+        if self.record_size == 28:
+            if side == 0:
+                return ((b[3] >> 4) << 24) | int.from_bytes(b[0:3], "big")
+            return ((b[3] & 0x0F) << 24) | int.from_bytes(b[4:7], "big")
+        if self.record_size == 32:
+            return int.from_bytes(b[0:4] if side == 0 else b[4:8], "big")
+        raise ValueError(f"mmdb: record_size {self.record_size}")
+
+    def _decode_at(self, record_value: int):
+        off = self.data_start + (record_value - self.node_count - 16)
+        val, _ = decode_value(self.data, off, self.data_start)
+        return val
+
+    def networks(self):
+        """DFS the tree -> (cidr, record) per data leaf. For an
+        ip_version=6 tree, descends 96 zero bits first so the yielded
+        networks are the embedded IPv4 space (the part the v4-only
+        enrichment path consumes); full-v6 enumeration is the same walk
+        without the descent."""
+        root, depth_total = 0, 32
+        if self.ip_version == 6:
+            for _ in range(96):
+                nxt = self._record(root, 0)
+                if nxt >= self.node_count:
+                    return  # no v4 subtree
+                root = nxt
+        stack = [(root, 0, 0)]  # node, prefix bits value, depth
+        while stack:
+            node, prefix, depth = stack.pop()
+            for side in (0, 1):
+                rec = self._record(node, side)
+                p = (prefix << 1) | side
+                if rec < self.node_count:
+                    stack.append((rec, p, depth + 1))
+                elif rec > self.node_count:
+                    plen = depth + 1
+                    base = p << (depth_total - plen)
+                    cidr = ".".join(str((base >> s) & 0xFF)
+                                    for s in (24, 16, 8, 0)) + f"/{plen}"
+                    yield cidr, self._decode_at(rec)
+                # rec == node_count: empty, skip
+
+
+def flatten_record(rec: dict, prefix: str = "") -> dict:
+    """GeoIP2 records are nested maps ({country: {iso_code: ...}});
+    flatten to dotted scalar keys. Localized `names` maps keep only
+    `en` (the reference's default locale behavior)."""
+    out = {}
+    for k, v in rec.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            if k == "names":
+                if "en" in v:
+                    out[key + ".en"] = v["en"]
+            else:
+                out.update(flatten_record(v, key + "."))
+        elif isinstance(v, list):
+            out[key] = ",".join(str(x) for x in v)
+        else:
+            out[key] = v
+    return out
+
+
+def mmdb_to_cidr_table(spark, path: str, fields: list[str] | None = None):
+    """Decode a .mmdb into the (cidr, attrs...) DataFrame that
+    operators/geoip.enrich_cidr consumes. ``fields`` selects dotted
+    attr names (e.g. ['country.iso_code', 'location.latitude']);
+    default = union of all flattened keys. Dots become underscores in
+    column names."""
+    reader = MmdbReader.open(path)
+    rows = [(cidr, flatten_record(rec)) for cidr, rec in reader.networks()]
+    if fields is None:
+        seen = {}
+        for _, flat in rows:
+            for k in flat:
+                seen.setdefault(k, None)
+        fields = sorted(seen)
+    cols = [f.replace(".", "_") for f in fields]
+
+    def sqltype(f):
+        vals = [flat.get(f) for _, flat in rows if flat.get(f) is not None]
+        if vals and all(isinstance(v, bool) for v in vals):
+            return "BOOLEAN"
+        if vals and all(isinstance(v, int) for v in vals):
+            return "BIGINT"
+        if vals and all(isinstance(v, (int, float)) for v in vals):
+            return "DOUBLE"
+        return "STRING"
+    types = {f: sqltype(f) for f in fields}
+
+    def coerce(f, v):
+        if v is None:
+            return None
+        if types[f] == "DOUBLE":
+            return float(v)
+        if types[f] == "STRING" and not isinstance(v, str):
+            return str(v)
+        return v
+    data = [tuple([cidr] + [coerce(f, flat.get(f)) for f in fields])
+            for cidr, flat in sorted(rows)]
+    schema = "cidr STRING" + "".join(
+        f", {c} {types[f]}" for c, f in zip(cols, fields))
+    return spark.createDataFrame(data, schema)
+
+
+def enrich_mmdb(df, path: str, ip_col: str,
+                fields: list[str] | None = None, how: str = "left"):
+    """geoip/mmdb enrichment end-to-end: decode once driver-side, then
+    the /8-bucket broadcast range join (operators/geoip.py)."""
+    from vector_spark.operators.geoip import enrich_cidr
+    table = mmdb_to_cidr_table(df.sparkSession, path, fields)
+    return enrich_cidr(df, table, ip_col, how=how)
+
+
+# -- fixture writer -------------------------------------------------------
+
+def _enc_size(typ: int, size: int) -> bytes:
+    ext = b""
+    if typ > 7:
+        ext, typ = bytes([typ - 7]), 0
+    if size < 29:
+        return bytes([(typ << 5) | size]) + ext
+    if size < 285:
+        return bytes([(typ << 5) | 29]) + ext + bytes([size - 29])
+    return bytes([(typ << 5) | 30]) + ext + (size - 285).to_bytes(2, "big")
+
+
+def encode_value(v) -> bytes:
+    if isinstance(v, bool):  # bool before int: bool is an int subclass
+        return bytes([0x01 if v else 0x00, _T_BOOL - 7])
+    if isinstance(v, str):
+        b = v.encode("utf-8")
+        return _enc_size(_T_STRING, len(b)) + b
+    if isinstance(v, float):
+        return _enc_size(_T_DOUBLE, 8) + struct.pack(">d", v)
+    if isinstance(v, int):
+        if v < 0:
+            return _enc_size(_T_INT32, 4) + v.to_bytes(4, "big", signed=True)
+        b = v.to_bytes((v.bit_length() + 7) // 8, "big") if v else b""
+        return _enc_size(_T_UINT32, len(b)) + b
+    if isinstance(v, bytes):
+        return _enc_size(_T_BYTES, len(v)) + v
+    if isinstance(v, dict):
+        out = _enc_size(_T_MAP, len(v))
+        for k, val in v.items():
+            out += encode_value(str(k)) + encode_value(val)
+        return out
+    if isinstance(v, (list, tuple)):
+        out = _enc_size(_T_ARRAY, len(v))
+        for item in v:
+            out += encode_value(item)
+        return out
+    raise TypeError(f"mmdb writer: unsupported {type(v)}")
+
+
+def write_mmdb(path: str, networks: list[tuple[str, dict]],
+               record_size: int = 32, database_type: str = "vector-spark-Test",
+               build_epoch: int | None = None) -> str:
+    """Write an IPv4 .mmdb (spec-conformant tree + data + metadata).
+    Deterministic for fixed inputs when ``build_epoch`` is pinned."""
+    from vector_spark.functions.vrl import _cidr_range
+
+    # less-specific first so more-specific inserts split covering
+    # leaves (MaxMind trees materialize nesting by leaf replication)
+    networks = sorted(networks, key=lambda nw: int(
+        nw[0].partition("/")[2] or 32))
+    data_sec = b""
+    offsets = []
+    for _, rec in networks:
+        offsets.append(len(data_sec))
+        data_sec += encode_value(rec)
+
+    nodes: list[list] = [[None, None]]  # None = empty
+    for i, (cidr, _) in enumerate(networks):
+        plen = int(cidr.partition("/")[2] or 32)
+        base, _ = _cidr_range(cidr)
+        cur = 0
+        for d in range(plen):
+            bit = (base >> (31 - d)) & 1
+            if d == plen - 1:
+                nodes[cur][bit] = ("data", offsets[i])
+            else:
+                nxt = nodes[cur][bit]
+                if not isinstance(nxt, int):
+                    nodes.append([nxt, nxt])  # split: children inherit
+                    nodes[cur][bit] = len(nodes) - 1
+                    nxt = len(nodes) - 1
+                cur = nxt
+    node_count = len(nodes)
+
+    def resolve(rec) -> int:
+        if rec is None:
+            return node_count
+        if isinstance(rec, int):
+            return rec
+        return node_count + 16 + rec[1]
+
+    tree = b""
+    for left_raw, right_raw in nodes:
+        left, right = resolve(left_raw), resolve(right_raw)
+        if record_size == 32:
+            tree += left.to_bytes(4, "big") + right.to_bytes(4, "big")
+        elif record_size == 24:
+            tree += left.to_bytes(3, "big") + right.to_bytes(3, "big")
+        elif record_size == 28:
+            tree += (left & 0xFFFFFF).to_bytes(3, "big") + \
+                bytes([((left >> 24) << 4) | (right >> 24)]) + \
+                (right & 0xFFFFFF).to_bytes(3, "big")
+        else:
+            raise ValueError(f"record_size {record_size}")
+
+    meta = {
+        "binary_format_major_version": 2,
+        "binary_format_minor_version": 0,
+        "node_count": node_count,
+        "record_size": record_size,
+        "ip_version": 4,
+        "database_type": database_type,
+        "languages": ["en"],
+        "description": {"en": "vector_spark test fixture"},
+        "build_epoch": int(time.time()) if build_epoch is None else build_epoch,
+    }
+    blob = tree + DATA_SEPARATOR + data_sec + METADATA_MARKER + \
+        encode_value(meta)
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path
+
+
+# -- demo fixture (deterministic; lazily written like the transcripts
+#    fixture) -------------------------------------------------------------
+
+import os as _os
+
+DEMO_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))), "fixtures", "mmdb")
+
+DEMO_NETWORKS = [
+    ("10.0.0.0/8", {"country": {"iso_code": "AA",
+                                 "names": {"en": "Alpha"}}, "asn": 64512}),
+    ("10.1.0.0/16", {"country": {"iso_code": "BB",
+                                  "names": {"en": "Beta"}}, "asn": 64513}),
+    ("192.168.0.0/16", {"country": {"iso_code": "PR",
+                                     "names": {"en": "Private"}}, "asn": 0}),
+    ("8.8.8.0/24", {"country": {"iso_code": "US",
+                                 "names": {"en": "United States"}},
+                     "location": {"latitude": 37.4, "longitude": -122.1},
+                     "asn": 15169}),
+]
+
+
+def ensure_demo_mmdb() -> str:
+    """Write (once) the deterministic demo .mmdb the oracle query uses."""
+    _os.makedirs(DEMO_DIR, exist_ok=True)
+    path = _os.path.join(DEMO_DIR, "demo.mmdb")
+    if not _os.path.exists(path):
+        tmp = path + f".tmp-{_os.getpid()}"
+        write_mmdb(tmp, DEMO_NETWORKS, record_size=28,
+                   build_epoch=1600000000)
+        _os.replace(tmp, path)
+    return path
