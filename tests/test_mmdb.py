@@ -90,3 +90,18 @@ def test_demo_fixture_deterministic(tmp_path):
     p2 = str(tmp_path / "again.mmdb")
     write_mmdb(p2, DEMO_NETWORKS, record_size=28, build_epoch=1600000000)
     assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_enrich_mmdb_plan_is_broadcast(spark, tmp_path):
+    """Scale shape: the fact side must see a BroadcastHashJoin (never
+    SortMerge/NestedLoop) — same contract test_plan_quality pins for
+    enrich_geoip."""
+    p = str(tmp_path / "t.mmdb")
+    write_mmdb(p, NETS, build_epoch=1600000000)
+    d = spark.range(1000).select(
+        F.concat(F.lit("10.1.0."), (F.col("id") % 250).cast("string"))
+        .alias("ip"))
+    plan = enrich_mmdb(d, p, "ip")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan

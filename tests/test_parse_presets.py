@@ -120,3 +120,26 @@ def test_gelf_parse_and_encode_roundtrip(spark):
     back = parse_gelf(enc, text_col="line", extra_keys=["_env"]).first()
     assert back["gelf_host"] == "h1" and back["gelf_short_message"] == "boom"
     assert back["gelf_level"] == 3 and back["ext_env"] == "x"
+
+
+def test_native_json_decode(spark):
+    """native_json.rs: externally-tagged Event enum, snake_case."""
+    from vector_spark.functions.parse_presets import parse_native_json
+    rows = [
+        ('{"log": {"message": "hi", "host": "a"}}',),
+        ('{"metric": {"name": "req", "kind": "absolute",'
+         ' "gauge": {"value": 2.5}}}',),
+        ('{"metric": {"name": "n", "kind": "incremental",'
+         ' "counter": {"value": 3}}}',),
+        ('{"trace": {"span_id": "abc"}}',),
+    ]
+    d = spark.createDataFrame(rows, ["text"])
+    got = parse_native_json(d).collect()
+    assert [r["event_type"] for r in got] == ["log", "metric", "metric",
+                                             "trace"]
+    assert got[0]["payload"] == '{"message":"hi","host":"a"}'
+    assert (got[1]["metric_name"], got[1]["metric_value_type"],
+            got[1]["metric_value"]) == ("req", "gauge", 2.5)
+    assert (got[2]["metric_kind"], got[2]["metric_value_type"],
+            got[2]["metric_value"]) == ("incremental", "counter", 3.0)
+    assert got[3]["payload"] == '{"span_id":"abc"}'

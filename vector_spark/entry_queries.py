@@ -752,6 +752,33 @@ def q_enrich_mmdb(spark, sf_dir):
         F.col("asn").alias("geo_asn"))
 
 
+def q_parse_native_json(spark, sf_dir):
+    """Vector native JSON codec round-trip (functions/parse_presets.py;
+    lib/codecs decoding/format/native_json.rs): encode alternating
+    log/metric events through the externally-tagged envelope, decode,
+    and surface the discriminator + typed metric fields."""
+    from vector_spark.functions.parse_presets import (encode_native_log,
+                                                      encode_native_metric,
+                                                      parse_native_json)
+
+    t = _transcripts(spark, sf_dir)
+    log_line = encode_native_log(
+        F.struct(F.col("text").alias("message"),
+                 F.col("conv_id").alias("conv")))
+    metric_line = encode_native_metric(
+        F.lit("turns_total"), F.lit("incremental"),
+        F.col("turn_idx").cast("double"), value_type="counter")
+    enc = t.select(
+        "conv_id", "turn_idx",
+        F.when(F.col("turn_idx") % 2 == 0, log_line)
+        .otherwise(metric_line).alias("text"))
+    p = parse_native_json(enc)
+    return p.select(
+        "conv_id", "turn_idx", "event_type",
+        F.get_json_object("payload", "$.message").alias("log_message"),
+        "metric_name", "metric_kind", "metric_value", "metric_value_type")
+
+
 def q_ddsearch_filter(spark, sf_dir):
     """Datadog-search syntax condition over the parsed stream
     (functions/ddsearch.py; reference src/conditions/datadog_search.rs):
@@ -1449,6 +1476,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vrl_net_crypto_funcs": q_vrl_net_crypto_funcs,
     "parse_influxdb": q_parse_influxdb,
     "enrich_mmdb_geoip": q_enrich_mmdb,
+    "parse_native_json": q_parse_native_json,
     "ddsearch_filter": q_ddsearch_filter,
     "parse_key_value_roundtrip": q_parse_key_value,
     "remap_dropped_port": q_remap_dropped,
@@ -1958,6 +1986,17 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
                     ELSE 1.0 END AS gauge_value
       FROM read_parquet('{tp}')
       CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2) _r"""
+
+    o["parse_native_json"] = f"""SELECT conv_id, turn_idx,
+             CASE WHEN turn_idx % 2 = 0 THEN 'log' ELSE 'metric' END
+                 AS event_type,
+             CASE WHEN turn_idx % 2 = 0 THEN text END AS log_message,
+             CASE WHEN turn_idx % 2 = 1 THEN 'turns_total' END AS metric_name,
+             CASE WHEN turn_idx % 2 = 1 THEN 'incremental' END AS metric_kind,
+             CASE WHEN turn_idx % 2 = 1 THEN CAST(turn_idx AS DOUBLE) END
+                 AS metric_value,
+             CASE WHEN turn_idx % 2 = 1 THEN 'counter' END AS metric_value_type
+      FROM read_parquet('{tp}')"""
 
     _mm_ip = ("CASE turn_idx % 4 WHEN 0 THEN '10.1.' WHEN 1 THEN '10.200.'"
               " WHEN 2 THEN '192.168.' ELSE '172.30.' END"

@@ -266,3 +266,57 @@ def encode_gelf(host: F.Column, short_message: F.Column, ts: F.Column,
         level.cast("int").alias("level"),
     ] + [c.alias(f"_{k}") for k, c in (extras or {}).items()]
     return F.to_json(F.struct(*fields))
+
+
+# --- Vector native JSON codec --------------------------------------------
+# (lib/codecs/src/decoding/format/native_json.rs; the Event enum is
+# externally tagged snake_case — {"log": {...}} | {"metric": {...}} |
+# {"trace": {...}} — and metric values are themselves externally tagged:
+# {"counter": {"value": ...}} | {"gauge": {"value": ...}}.)
+
+NATIVE_METRIC_SCHEMA = (
+    "name string, namespace string, tags map<string,string>, "
+    "kind string, timestamp string, "
+    "counter struct<value:double>, gauge struct<value:double>")
+
+
+def parse_native_json(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Vector native JSON decode: event_type discriminator + typed
+    metric fields; log/trace payloads stay raw JSON text (``payload``)
+    for the caller to from_json with their schema — the honest typed
+    boundary for an arbitrary-shape LogEvent. Pure JVM: get_json_object
+    for the tag probe + one from_json for the metric branch."""
+    t = F.col(text_col)
+    log_j = F.get_json_object(t, "$.log")
+    metric_j = F.get_json_object(t, "$.metric")
+    trace_j = F.get_json_object(t, "$.trace")
+    m = F.from_json(metric_j, NATIVE_METRIC_SCHEMA)
+    return df.withColumns({
+        "event_type": (F.when(log_j.isNotNull(), "log")
+                       .when(metric_j.isNotNull(), "metric")
+                       .when(trace_j.isNotNull(), "trace")),
+        "payload": F.coalesce(log_j, trace_j),
+        "metric_name": m.getField("name"),
+        "metric_kind": m.getField("kind"),
+        "metric_value": F.coalesce(m.getField("counter").getField("value"),
+                                   m.getField("gauge").getField("value")),
+        "metric_value_type": (
+            F.when(m.getField("counter").isNotNull(), "counter")
+            .when(m.getField("gauge").isNotNull(), "gauge")),
+    })
+
+
+def encode_native_log(struct_col) -> F.Column:
+    """Native JSON encode, log flavor: {"log": {...}}."""
+    return F.to_json(F.struct(struct_col.alias("log")))
+
+
+def encode_native_metric(name, kind, value, value_type: str = "gauge",
+                         tags=None) -> F.Column:
+    """Native JSON encode, metric flavor (externally tagged value)."""
+    inner = [F.lit(None) if name is None else name.alias("name"),
+             kind.alias("kind"),
+             F.struct(value.alias("value")).alias(value_type)]
+    if tags is not None:
+        inner.append(tags.alias("tags"))
+    return F.to_json(F.struct(F.struct(*inner).alias("metric")))
