@@ -319,3 +319,19 @@ def test_parse_influxdb_escapes_and_strings(spark):
     assert r[0]["name"] == "my cpu_value"
     assert r[0]["tags"] == {"ho,st": "a=b"}
     assert str(r[0]["timestamp"]) == "1970-01-01 00:00:01"
+
+
+def test_set_semantic_meaning_metadata(spark):
+    d = spark.range(1).select(M.set_semantic_meaning(
+        F.lit("10.0.0.1"), "client_ip", "client_address"))
+    assert d.schema["client_ip"].metadata == {
+        "semantic_meaning": "client_address"}
+
+
+def test_compact_map_and_remove_key(spark):
+    d = spark.createDataFrame([({"a": "1", "b": "", "c": None},)],
+                              "m map<string,string>")
+    r = d.select(M.compact_map(F.col("m")).alias("c"),
+                 M.remove_key(F.col("m"), F.lit("a")).alias("r")).first()
+    assert r["c"] == {"a": "1"}
+    assert set(r["r"].keys()) == {"b", "c"}

@@ -789,10 +789,11 @@ def remove_secret(m, key) -> Column:
     return F.map_filter(_c(m), lambda k, v: k != _c(key))
 
 
-def set_semantic_meaning(c, meaning: str) -> Column:
+def set_semantic_meaning(c, name: str, meaning: str) -> Column:
     """set_semantic_meaning.cue: attach the meaning as Spark column
-    metadata (schema-level, like the reference's semantic registry)."""
-    return _c(c).alias("", metadata={"semantic_meaning": meaning})
+    metadata under ``name`` (schema-level, like the reference's semantic
+    registry); read back via df.schema[name].metadata."""
+    return _c(c).alias(name, metadata={"semantic_meaning": meaning})
 
 
 # -- unflatten (unflatten.cue) -------------------------------------------
