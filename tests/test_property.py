@@ -98,3 +98,74 @@ def test_throttle_invariant(spark, rows):
             expect.add((k, s, q))
     got = {(r["key"], r["secs"], r["seq"]) for r in kept}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# mmdb writer/reader: longest-prefix lookup over ARBITRARY network sets
+# equals an ipaddress-module oracle (driver-side pure Python, no Spark)
+# ---------------------------------------------------------------------------
+
+_cidr_st = st.builds(
+    lambda base, plen: f"{base >> 24 & 255}.{base >> 16 & 255}."
+                       f"{base >> 8 & 255}.{base & 255}/{plen}",
+    st.integers(0, 2**32 - 1), st.integers(1, 32))
+
+
+@given(cidrs=st.lists(_cidr_st, min_size=1, max_size=8, unique=True),
+       probes=st.lists(st.integers(0, 2**32 - 1), min_size=1, max_size=8),
+       record_size=st.sampled_from([24, 28, 32]))
+@settings(max_examples=60, deadline=None)
+def test_mmdb_longest_prefix_property(tmp_path_factory, cidrs, probes,
+                                      record_size):
+    import ipaddress
+
+    from vector_spark.sources.mmdb import MmdbReader, write_mmdb
+
+    nets = []
+    seen_norm = set()
+    for i, c in enumerate(cidrs):
+        n = ipaddress.ip_network(c, strict=False)
+        if n in seen_norm:
+            continue  # same normalized block twice = ambiguous data
+        seen_norm.add(n)
+        nets.append((str(n), {"idx": i}))
+    p = str(tmp_path_factory.mktemp("mmdb") / "t.mmdb")
+    write_mmdb(p, nets, record_size=record_size, build_epoch=1600000000)
+    got = list(MmdbReader.open(p).networks())
+
+    def oracle(ip):
+        best = None
+        for cidr, rec in nets:
+            n = ipaddress.ip_network(cidr)
+            if ip in n and (best is None or n.prefixlen > best[0]):
+                best = (n.prefixlen, rec["idx"])
+        return None if best is None else best[1]
+
+    def tree_lookup(ip):
+        best = None
+        for cidr, rec in got:
+            n = ipaddress.ip_network(cidr)
+            if ip in n and (best is None or n.prefixlen > best[0]):
+                best = (n.prefixlen, rec["idx"])
+        return None if best is None else best[1]
+
+    for raw in probes:
+        ip = ipaddress.ip_address(raw)
+        assert tree_lookup(ip) == oracle(ip), (str(ip), nets)
+
+
+# ---------------------------------------------------------------------------
+# influxdb line-protocol field-value classifier (pure-regex semantics,
+# mirrored in python) — int/uint suffix, bools, floats, strings dropped
+# ---------------------------------------------------------------------------
+
+@given(n=st.integers(-10**12, 10**12),
+       f=st.floats(allow_nan=False, allow_infinity=False, width=32))
+@settings(max_examples=100)
+def test_influx_numeric_field_shapes(n, f):
+    import re as _re
+    int_re = _re.compile(r"^-?\d+[iu]$")
+    assert int_re.match(f"{n}i"), n          # 64i / -5i forms
+    assert int_re.match(f"{abs(n)}u"), n     # unsigned suffix
+    assert not int_re.match(repr(float(f)))  # bare floats take the
+    assert not int_re.match('"quoted"')      # try_cast path; strings drop
