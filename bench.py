@@ -200,22 +200,32 @@ def main() -> None:
     queries = entry_mod.queries()
     spark = _get_session(args.cpus)
     per_query: dict[str, float] = {}
+    flagship_times: list[float] = []
     try:
-        # flagship end-to-end (the north-rule metric), after one warm-up
-        # pass; best-of-5 because the box is shared and one load spike
-        # otherwise masquerades as a regression
-        run_flagship(spark, args.sf_dir)
-        flagship_s, n_turns, _ = run_flagship(spark, args.sf_dir, best_of=5)
+        # warm-up pass (codegen + regex compile), also probes input size
+        _, n_turns, _ = run_flagship(spark, args.sf_dir)
 
-        # Interleaved best-of-3 per query (round-robin A B C A B C ...):
-        # the box is shared, so a single-shot leg lets one noisy-neighbor
-        # window masquerade as a plan regression (BENCH_r02 artifact).
-        # Interleaving spreads each query's samples across the full wall
-        # window; min() keeps the least-disturbed run. Query plans are
-        # rebuilt every iteration so no shuffle/stage reuse leaks between
-        # samples.
+        def flagship_sample() -> None:
+            # one flagship end-to-end sample; the query is rebuilt every
+            # time so no shuffle/stage reuse leaks between samples
+            _, q = _flagship_query(spark, args.sf_dir)
+            t0 = time.perf_counter()
+            rows = q.collect()
+            flagship_times.append(time.perf_counter() - t0)
+            assert len(rows) >= 2, f"flagship produced too few sinks: {rows}"
+
+        # Everything is interleaved (round-robin F q1..q4 F q5..q9, x3):
+        # the box is shared, so a single contiguous leg lets one
+        # noisy-neighbor window masquerade as a plan regression — which
+        # is exactly what happened to the flagship number in BENCH_r02/
+        # r03 while every interleaved per-query leg improved. The
+        # flagship (the north-rule metric) now takes 6 samples spread
+        # across the full wall window, same as the per-query legs;
+        # min() keeps the least-disturbed run of each.
+        mid = len(HEADLINE) // 2 - 1
         for _ in range(3):
-            for name in HEADLINE:
+            flagship_sample()
+            for i, name in enumerate(HEADLINE):
                 fn = queries.get(name)
                 if fn is None:
                     continue
@@ -225,6 +235,9 @@ def main() -> None:
                 elapsed = round(time.perf_counter() - t0, 3)
                 if elapsed < per_query.get(name, float("inf")):
                     per_query[name] = elapsed
+                if i == mid:
+                    flagship_sample()
+        flagship_s = min(flagship_times)
     finally:
         spark.stop()
 

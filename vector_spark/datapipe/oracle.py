@@ -200,14 +200,32 @@ def _l2_sql(vec: str, centroid: list[float]) -> str:
             f"(p, q) -> p + q)")
 
 
+def _check_literal_cells(centroids: list[list[float]]) -> None:
+    """Oracle SQL folds literal (x-c)^2 expressions — bit-identical to
+    Spark ONLY on the literal-codegen path. Past MAX_LITERAL_CELLS the
+    Spark side switches to the GEMM pandas-UDF (different summation
+    order), so near-equidistant centroids could assign differently and
+    fail the driver hash. Refuse to build an oracle that silently
+    crosses that boundary; oracle-checked fixtures must size cells_for
+    within MAX_LITERAL_CELLS."""
+    from vector_spark.datapipe.similarity import MAX_LITERAL_CELLS
+    if len(centroids) > MAX_LITERAL_CELLS:
+        raise ValueError(
+            f"oracle literal-fold path only matches Spark up to "
+            f"MAX_LITERAL_CELLS={MAX_LITERAL_CELLS} centroids; got "
+            f"{len(centroids)} (Spark would use the GEMM UDF path)")
+
+
 def cell_sql(vec: str, centroids: list[list[float]]) -> str:
     """Nearest-cell id, first-min tie-break — twin of cell_expr."""
+    _check_literal_cells(centroids)
     darr = "[" + ", ".join(_l2_sql(vec, c) for c in centroids) + "]"
     return f"CAST(list_position({darr}, list_min({darr})) - 1 AS INTEGER)"
 
 
 def probe_cells_sql(vec: str, centroids: list[list[float]], nprobe: int) -> str:
     """The query's nprobe nearest cell ids — twin of probe_cells_expr."""
+    _check_literal_cells(centroids)
     structs = ", ".join(
         f"{{'d': {_l2_sql(vec, c)}, 'i': {i}}}"
         for i, c in enumerate(centroids))

@@ -861,7 +861,10 @@ def parse_influxdb(c) -> Column:
     ts_raw = F.element_at(sections, -1)
     ts_ns = F.when((F.size(sections) >= 3) & ts_raw.rlike(r"^-?\d+$"),
                    ts_raw.try_cast("long"))
-    ts = F.timestamp_micros((ts_ns / 1000).cast("long"))
+    # integer ns->us: double division loses precision above 2^53
+    # (epoch-scale ns ~1.7e18), shifting non-aligned stamps by +-1us
+    ts = F.timestamp_micros(
+        F.try_divide(ts_ns.cast("decimal(38,0)"), F.lit(1000)).cast("long"))
     fields = F.split(F.element_at(sections, 2), ",")
 
     def fval(kv: Column) -> Column:

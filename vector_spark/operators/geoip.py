@@ -31,19 +31,39 @@ from vector_spark.functions.vrl import _cidr_range, ip_aton
 
 def _disjoint_intervals(rows, attr_cols: list[str]):
     """Flatten (possibly overlapping) CIDR rows into disjoint inclusive
-    (start, end, attrs...) intervals, most-specific network winning."""
+    (start, end, attrs...) intervals, most-specific network winning.
+
+    Event sweep, not per-boundary rescan: O(P log P + P*depth) where
+    depth is the CIDR nesting depth (<= 33), so a real GeoLite2-City
+    (~4M pre-disjoint networks) builds in seconds — the active set holds
+    one range at a time for disjoint input."""
     ranges = []
     for order, r in enumerate(rows):
         start, end = _cidr_range(r["cidr"])
         prefix = int(r["cidr"].partition("/")[2] or 32)
         ranges.append((start, end, prefix, order, tuple(r[c] for c in attr_cols)))
-    points = sorted({s for s, *_ in ranges} | {e + 1 for _, e, *_ in ranges})
+    events = []  # (point, open0/close1, range idx); closes apply at end+1
+    for i, (s, e, *_rest) in enumerate(ranges):
+        events.append((s, 0, i))
+        events.append((e + 1, 1, i))
+    events.sort()
+    active: dict[int, tuple] = {}
     out = []
-    for lo, hi in zip(points, points[1:]):
-        covering = [r for r in ranges if r[0] <= lo and hi - 1 <= r[1]]
-        if covering:
-            best = max(covering, key=lambda r: (r[2], -r[3]))
-            out.append((lo, hi - 1) + best[4])
+    cur = None
+    i, n = 0, len(events)
+    while i < n:
+        point = events[i][0]
+        if active and cur is not None and cur < point:
+            best = max(active.values(), key=lambda r: (r[2], -r[3]))
+            out.append((cur, point - 1) + best[4])
+        while i < n and events[i][0] == point:
+            _, kind, ridx = events[i]
+            if kind == 0:
+                active[ridx] = ranges[ridx]
+            else:
+                active.pop(ridx, None)
+            i += 1
+        cur = point
     return out
 
 
@@ -55,7 +75,14 @@ def enrich_cidr(
     (columns: cidr + attributes). Longest-prefix match wins; rows whose
     IP no network covers keep NULL attrs (left join)."""
     spark: SparkSession = df.sparkSession
-    rows = table.collect()  # enrichment table: small by contract
+    # enrichment table is broadcast-sized by contract; Arrow transfer so
+    # a real GeoLite2-scale table (~4M networks) doesn't serialize as
+    # millions of pickled Rows
+    pdf_in = table.toPandas()
+    # pandas maps NULL int/bool to NaN-in-float64; restore None so attr
+    # tuples and the LUT schema cast stay exact
+    pdf_in = pdf_in.astype(object).where(pdf_in.notna(), None)
+    rows = pdf_in.to_dict("records")
     attr_cols = [c for c in table.columns if c != "cidr"]
     if select is not None:
         attr_cols = [c for c in attr_cols if c in select]
@@ -67,7 +94,11 @@ def enrich_cidr(
     dtypes = dict(table.dtypes)
     schema = ("__bucket INT, __net_start LONG, __net_end LONG"
               + "".join(f", {c} {dtypes[c]}" for c in attr_cols))
-    lut = spark.createDataFrame(expanded, schema)
+    import pandas as pd
+    lut_pdf = pd.DataFrame(
+        expanded, columns=["__bucket", "__net_start", "__net_end"] + attr_cols,
+        dtype=object)
+    lut = spark.createDataFrame(lut_pdf, schema)  # Arrow path, not tuple list
 
     fact = df.withColumn("__ip_num", ip_aton(F.col(ip_col)))
     fact = fact.withColumn("__bucket", (F.col("__ip_num") / 16777216).cast("int"))

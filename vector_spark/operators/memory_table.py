@@ -96,7 +96,7 @@ class MemoryTable:
         scratch must pair the checkpoint wipe with ``reset_epochs()``
         (or a fresh table path), the same pairing the reference requires
         between its source checkpoint and its in-memory table."""
-        ver, last_ep, _ = self._current_state()
+        ver, last_ep, prev = self._current_state()
         if epoch is not None and epoch <= last_ep:
             return ver  # replay of an already-merged epoch: idempotent no-op
         cur = self.snapshot()
@@ -108,8 +108,13 @@ class MemoryTable:
         latest.coalesce(1).write.mode("overwrite").parquet(self._snapshot_dir(v))
         tmp = self._current_file() + f".tmp-{os.getpid()}"
         with open(tmp, "w") as f:
-            # 3rd field: the pre-merge version, for replayed-epoch lookups
-            f.write(f"{v} {epoch if epoch is not None else last_ep} {ver}")
+            # 3rd field: for epoch-stamped merges, the version CURRENT
+            # before THIS merge; for unstamped merges, PRESERVE the stored
+            # pre_merge_version — otherwise a later replay of last_ep would
+            # pin a snapshot that already includes that epoch's fold,
+            # breaking replay idempotence when stamped/unstamped merges mix.
+            pre = ver if epoch is not None else prev
+            f.write(f"{v} {epoch if epoch is not None else last_ep} {pre}")
         os.replace(tmp, self._current_file())  # atomic pointer flip
         return v
 

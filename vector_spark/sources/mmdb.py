@@ -154,8 +154,14 @@ class MmdbReader:
         if self.ip_version == 6:
             for _ in range(96):
                 nxt = self._record(root, 0)
-                if nxt >= self.node_count:
-                    return  # no v4 subtree
+                if nxt == self.node_count:
+                    return  # empty: no v4 subtree
+                if nxt > self.node_count:
+                    # a data record above ::/96 covers the remaining
+                    # space INCLUDING all of v4 — surface it as the
+                    # default route instead of silently dropping it
+                    yield "0.0.0.0/0", self._decode_at(nxt)
+                    return
                 root = nxt
         stack = [(root, 0, 0)]  # node, prefix bits value, depth
         while stack:
