@@ -37,7 +37,7 @@ APPROX = {
 
 # pandas-UDF paths with no SQL twin: the driver runs its rows-only check;
 # here we still execute them and require a non-empty, schema-stable result
-NO_ORACLE = {"media_decode_stub"}
+NO_ORACLE: set[str] = set()
 
 
 @pytest.fixture(scope="module")

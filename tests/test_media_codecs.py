@@ -1,0 +1,86 @@
+"""Real media container decode (datapipe/media_codecs.py): stdlib
+encoders round-trip through the independent decoders, malformed input
+follows the NULL contract, and the mapInPandas plan stays Arrow-batched."""
+
+import struct
+
+import pytest
+
+from vector_spark.datapipe import media_codecs as mc
+
+
+@pytest.mark.parametrize("doc_id", list(range(16)) + [99, 100, 509, 123457])
+def test_synth_roundtrip(doc_id):
+    meta = mc.decode_container(mc.synth_media(doc_id))
+    f = doc_id % 4
+    fmt = ["png", "jpeg", "bmp", "wav"][f]
+    assert meta["format"] == fmt
+    if fmt == "wav":
+        assert meta["width"] is None and meta["height"] is None
+        assert meta["sample_rate"] == mc.WAV_RATES[(doc_id // 4) % 4]
+        assert meta["channels"] == 1 + (doc_id // 4) % 2
+        assert meta["bit_depth"] == (8 if doc_id % 3 == 0 else 16)
+    else:
+        wm, hm = mc.DIM_MODS[fmt]
+        assert meta["width"] == 1 + doc_id % wm
+        assert meta["height"] == 1 + doc_id % hm
+        assert meta["sample_rate"] is None
+
+
+def test_png_crc_rejected():
+    b = bytearray(mc.encode_png(10, 20))
+    b[20] ^= 0xFF  # corrupt IHDR body without touching the CRC
+    assert mc.decode_container(bytes(b))["format"] is None
+
+
+def test_png_channels_by_color_type():
+    assert mc.decode_png(mc.encode_png(3, 4, color_type=0))["channels"] == 1
+    assert mc.decode_png(mc.encode_png(3, 4, color_type=2))["channels"] == 3
+    assert mc.decode_png(mc.encode_png(3, 4, color_type=6))["channels"] == 4
+
+
+def test_jpeg_marker_walk_skips_segments():
+    # extra COM + DQT segments before SOF must be walked over
+    com = b"\xff\xfe" + struct.pack(">H", 7) + b"hello"
+    dqt = b"\xff\xdb" + struct.pack(">H", 4) + b"\x00\x01"
+    raw = mc.encode_jpeg(640, 480, ncomp=3)
+    spliced = raw[:2] + com + dqt + raw[2:]
+    meta = mc.decode_jpeg(spliced)
+    assert (meta["width"], meta["height"], meta["channels"]) == (640, 480, 3)
+
+
+def test_bmp_negative_height_topdown():
+    b = bytearray(mc.encode_bmp(7, 5))
+    struct.pack_into("<i", b, 22, -5)  # top-down DIB: height stored negative
+    assert mc.decode_bmp(bytes(b))["height"] == 5
+
+
+def test_wav_chunk_walk_past_list_chunk():
+    raw = mc.encode_wav(44100, channels=2, bits=16)
+    # insert a LIST chunk between WAVE and fmt
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = raw[:12] + lst + raw[12:]
+    fixed = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    meta = mc.decode_wav(fixed)
+    assert (meta["sample_rate"], meta["channels"], meta["bit_depth"]) == \
+        (44100, 2, 16)
+
+
+def test_unknown_bytes_null_contract():
+    for payload in (b"", b"\x00", b"GIF89a\x01\x00\x01\x00", b"RIFF\x00\x00\x00\x00AVI "):
+        meta = mc.decode_container(payload)
+        assert meta == {"format": None, "width": None, "height": None,
+                        "channels": None, "bit_depth": None,
+                        "sample_rate": None}
+
+
+def test_spark_decode_plan_is_arrow(spark):
+    df = spark.range(0, 64).selectExpr("id AS doc_id")
+    out = mc.decode_media_meta(mc.with_synth_media(df))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no per-row Python UDF
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["format"] == "png" and rows[0]["width"] == 1
+    assert rows[3]["format"] == "wav" and rows[3]["sample_rate"] == 8000
+    assert rows[63]["format"] == "wav" and rows[63]["bit_depth"] == 8

@@ -1,0 +1,251 @@
+"""Real media container decode — stdlib only (struct/zlib), no codec libs.
+
+Replaces the round-3 ``media_decode_stub``: the four deterministic
+container formats whose metadata is decodable from the public file
+specs without any external library:
+
+- PNG  — signature + IHDR chunk (width/height/bit-depth/color-type),
+         CRC-verified with ``zlib.crc32``
+- JPEG — SOI marker walk to the first SOFn frame header
+- BMP  — BITMAPFILEHEADER + BITMAPINFOHEADER
+- WAV  — RIFF/WAVE ``fmt `` chunk walk
+
+Scope is header/metadata extraction (dimensions, channels, sample rate,
+bit depth) — the feature-extraction stage of a training-data pipeline.
+Full pixel/sample decode of compressed streams stays out of scope (that
+genuinely needs codec libraries).
+
+The ENCODE side exists to make the decode oracle-checkable: it emits
+spec-valid headers with dimensions derived deterministically from a
+document id, so the DuckDB oracle can recompute the expected decode
+output with pure arithmetic while Spark round-trips actual bytes
+through an independent parser.
+
+Spark shape: one ``mapInPandas`` over a pruned (id, media) projection —
+Arrow batches, no per-row Python outside the UDF, no driver collect.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# ---------------------------------------------------------------------------
+# decoders (bytes -> metadata dict); each raises ValueError on malformed input
+# ---------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color_type -> channels
+
+
+def decode_png(b: bytes) -> dict:
+    if b[:8] != PNG_SIG:
+        raise ValueError("png: bad signature")
+    length, ctype = struct.unpack(">I4s", b[8:16])
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("png: first chunk is not IHDR")
+    body = b[16:29]
+    crc = struct.unpack(">I", b[29:33])[0]
+    if zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF != crc:
+        raise ValueError("png: IHDR CRC mismatch")
+    w, h, depth, color = struct.unpack(">IIBB", body[:10])
+    return {"format": "png", "width": w, "height": h,
+            "channels": _PNG_CHANNELS.get(color), "bit_depth": depth,
+            "sample_rate": None}
+
+
+def decode_jpeg(b: bytes) -> dict:
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: bad SOI")
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError(f"jpeg: lost marker sync at {i}")
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers, no length
+            continue
+        seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+        # SOF0..SOF15 excluding DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            prec, h, w, ncomp = struct.unpack(">BHHB", b[i + 4:i + 10])
+            return {"format": "jpeg", "width": w, "height": h,
+                    "channels": ncomp, "bit_depth": prec,
+                    "sample_rate": None}
+        if marker == 0xDA:  # SOS: compressed stream follows
+            break
+        i += 2 + seglen
+    raise ValueError("jpeg: no SOF frame header found")
+
+
+def decode_bmp(b: bytes) -> dict:
+    if b[:2] != b"BM":
+        raise ValueError("bmp: bad magic")
+    hdr_size = struct.unpack("<I", b[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError(f"bmp: unsupported DIB header size {hdr_size}")
+    w, h, _planes, bpp = struct.unpack("<iihH", b[18:30])
+    # per-channel depth: palette formats (<8bpp) report bpp, packed RGB 8
+    return {"format": "bmp", "width": w, "height": abs(h),
+            "channels": max(1, bpp // 8), "bit_depth": min(bpp, 8),
+            "sample_rate": None}
+
+
+def decode_wav(b: bytes) -> dict:
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("wav: bad RIFF/WAVE header")
+    i = 12
+    while i + 8 <= len(b):
+        cid, clen = struct.unpack("<4sI", b[i:i + 8])
+        if cid == b"fmt ":
+            _fmt, channels, rate, _bps, _align, bits = struct.unpack(
+                "<HHIIHH", b[i + 8:i + 24])
+            return {"format": "wav", "width": None, "height": None,
+                    "channels": channels, "bit_depth": bits,
+                    "sample_rate": rate}
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    raise ValueError("wav: no fmt chunk")
+
+
+_MAGIC_DECODERS = [
+    (PNG_SIG, decode_png),
+    (b"\xff\xd8", decode_jpeg),
+    (b"BM", decode_bmp),
+    (b"RIFF", decode_wav),
+]
+
+
+def decode_container(b: bytes) -> dict:
+    """Sniff the container by magic bytes and decode its metadata.
+    Unknown formats return format=None with NULL fields (lenient, the
+    same NULL-on-parse-failure contract as functions/parse.py)."""
+    bb = bytes(b)
+    for magic, dec in _MAGIC_DECODERS:
+        if bb[:len(magic)] == magic:
+            try:
+                return dec(bb)
+            except (ValueError, struct.error, IndexError):
+                break
+    return {"format": None, "width": None, "height": None,
+            "channels": None, "bit_depth": None, "sample_rate": None}
+
+
+# ---------------------------------------------------------------------------
+# encoders (metadata -> spec-valid header bytes) — fixture generators
+# ---------------------------------------------------------------------------
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def encode_png(w: int, h: int, bit_depth: int = 8, color_type: int = 2) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    # minimal IDAT: one zlib block (content not read by the header decoder)
+    idat = zlib.compress(b"\x00")
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def encode_jpeg(w: int, h: int, ncomp: int = 3) -> bytes:
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" \
+        + struct.pack(">HHBB", 72, 72, 0, 0)
+    comps = b"".join(struct.pack(">BBB", i + 1, 0x11, 0) for i in range(ncomp))
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp) + comps
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def encode_bmp(w: int, h: int, bpp: int = 24) -> bytes:
+    row = (w * (bpp // 8) + 3) & ~3
+    pix = b"\x00" * min(row, 64)  # truncated pixel data; header-decode scope
+    dib = struct.pack("<IiihHIIiiII", 40, w, h, 1, bpp, 0, row * h,
+                      2835, 2835, 0, 0)
+    filehdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pix), 0, 0, 14 + 40)
+    return filehdr + dib + pix
+
+
+def encode_wav(sample_rate: int, channels: int = 1, bits: int = 16,
+               n_frames: int = 4) -> bytes:
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block, block, bits)
+    data = b"\x00" * (n_frames * block)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixture: media payload derived from doc_id (oracle twin
+# recomputes the same arithmetic in SQL — see datapipe/oracle.media_decode_sql)
+# ---------------------------------------------------------------------------
+
+WAV_RATES = (8000, 16000, 22050, 44100)
+#: (width_mod, height_mod) per image format — shared with the SQL oracle
+#: (datapipe/oracle.media_decode_sql) so both sides derive the same dims.
+DIM_MODS = {"png": (317, 211), "jpeg": (251, 127), "bmp": (199, 97)}
+
+
+def synth_media(doc_id: int) -> bytes:
+    """doc_id -> one of the four containers with derived dimensions.
+    Every constant here has an exact twin in media_decode_sql."""
+    f = doc_id % 4
+    if f == 0:
+        wm, hm = DIM_MODS["png"]
+        return encode_png(1 + doc_id % wm, 1 + doc_id % hm,
+                          color_type=2 if (doc_id // 4) % 2 == 0 else 6)
+    if f == 1:
+        wm, hm = DIM_MODS["jpeg"]
+        return encode_jpeg(1 + doc_id % wm, 1 + doc_id % hm,
+                           ncomp=1 if doc_id % 3 == 0 else 3)
+    if f == 2:
+        wm, hm = DIM_MODS["bmp"]
+        return encode_bmp(1 + doc_id % wm, 1 + doc_id % hm)
+    return encode_wav(WAV_RATES[(doc_id // 4) % 4],
+                      channels=1 + (doc_id // 4) % 2,
+                      bits=8 if doc_id % 3 == 0 else 16)
+
+
+MEDIA_DECODE_SCHEMA = ("doc_id bigint, format string, width bigint, "
+                       "height bigint, channels bigint, sample_rate bigint, "
+                       "bit_depth bigint")
+
+
+def with_synth_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the deterministic container payload (Arrow-batched)."""
+    @F.pandas_udf("binary")
+    def synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_media(int(i)))
+
+    return df.select(F.col(id_col).alias("doc_id"),
+                     synth(F.col(id_col)).alias("media"))
+
+
+def decode_media_meta(df: DataFrame, id_col: str = "doc_id",
+                      media: str = "media") -> DataFrame:
+    """Arrow-batched container decode over a pruned (id, media)
+    projection — the real replacement for the round-3 decode stub."""
+    pruned = df.select(F.col(id_col).alias("doc_id"), F.col(media).alias("media"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_container(p) for p in pdf["media"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "format": [m["format"] for m in metas],
+                "width": pd.array([m["width"] for m in metas], dtype="Int64"),
+                "height": pd.array([m["height"] for m in metas], dtype="Int64"),
+                "channels": pd.array([m["channels"] for m in metas], dtype="Int64"),
+                "sample_rate": pd.array([m["sample_rate"] for m in metas],
+                                        dtype="Int64"),
+                "bit_depth": pd.array([m["bit_depth"] for m in metas],
+                                      dtype="Int64"),
+            })
+
+    return pruned.mapInPandas(extract, schema=MEDIA_DECODE_SCHEMA)

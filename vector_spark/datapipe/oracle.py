@@ -265,6 +265,36 @@ def ann_topk_sql(k: int = 5, query_mod: int = 25, bucketed: bool = False,
     FROM ranked WHERE rank <= {k}"""
 
 
+def media_decode_sql() -> str:
+    """Expected output of the REAL container decode (media_codecs):
+    the fixture derives dimensions from doc_id, so the oracle recomputes
+    them arithmetically while Spark round-trips actual PNG/JPEG/BMP/WAV
+    bytes through an independent stdlib parser."""
+    from vector_spark.datapipe.media_codecs import DIM_MODS, WAV_RATES
+    (pw, ph), (jw, jh), (bw, bh) = (
+        DIM_MODS["png"], DIM_MODS["jpeg"], DIM_MODS["bmp"])
+    rates = " ".join(f"WHEN {i} THEN {r}" for i, r in enumerate(WAV_RATES))
+    return f"""SELECT doc_id,
+      CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+           WHEN 2 THEN 'bmp' ELSE 'wav' END AS format,
+      CAST(CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % {pw}
+           WHEN 1 THEN 1 + doc_id % {jw}
+           WHEN 2 THEN 1 + doc_id % {bw} END AS BIGINT) AS width,
+      CAST(CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % {ph}
+           WHEN 1 THEN 1 + doc_id % {jh}
+           WHEN 2 THEN 1 + doc_id % {bh} END AS BIGINT) AS height,
+      CAST(CASE doc_id % 4
+           WHEN 0 THEN CASE WHEN (doc_id // 4) % 2 = 0 THEN 3 ELSE 4 END
+           WHEN 1 THEN CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END
+           WHEN 2 THEN 3
+           ELSE 1 + (doc_id // 4) % 2 END AS BIGINT) AS channels,
+      CAST(CASE WHEN doc_id % 4 = 3 THEN
+           CASE (doc_id // 4) % 4 {rates} END END AS BIGINT) AS sample_rate,
+      CAST(CASE WHEN doc_id % 4 = 3 AND doc_id % 3 <> 0 THEN 16
+           ELSE 8 END AS BIGINT) AS bit_depth
+    FROM documents"""
+
+
 def media_features_sql() -> str:
     return """SELECT doc_id,
       CAST(16 AS BIGINT) AS n_bytes,

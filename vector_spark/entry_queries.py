@@ -1434,12 +1434,17 @@ def q_media_features(spark, sf_dir):
 
 
 def q_media_decode(spark, sf_dir):
-    """mapInPandas decode plumbing (Arrow batches); no SQL oracle —
-    driver records the weaker rows-only check for this one."""
-    from vector_spark.datapipe.multimodal import decode_media, fake_decoder
+    """REAL container decode (datapipe/media_codecs.py): deterministic
+    PNG/JPEG/BMP/WAV payloads are synthesized from doc_id, then parsed
+    back by an independent stdlib decoder (struct/zlib marker + chunk
+    walks) in one Arrow mapInPandas hop. The oracle recomputes the
+    expected metadata arithmetically — closing round-3's last
+    oracle-less entry."""
+    from vector_spark.datapipe.media_codecs import (
+        decode_media_meta, with_synth_media)
 
-    m = with_media(_documents(spark, sf_dir))
-    return decode_media(m, decoder=fake_decoder)
+    m = with_synth_media(_documents(spark, sf_dir))
+    return decode_media_meta(m)
 
 
 #: Dict ORDER is deliberate: the correctness driver checks the FIRST 50
@@ -1462,7 +1467,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_brute_topk": q_ann_brute,
     "ann_ivf_topk": q_ann_ivf,
     "media_byte_features": q_media_features,
-    "media_decode_stub": q_media_decode,
+    "media_decode": q_media_decode,
     "tag_cardinality_bloom": q_cardinality_bloom,
     "parse_csv_roundtrip": q_parse_csv_roundtrip,
     "parse_aws_alb": q_parse_aws_alb,
@@ -2359,6 +2364,6 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
     o["ann_ivf_topk"] = dp_oracle.ann_topk_sql(
         k=5, query_mod=25, centroids=_ivf_centroids(_canon_dir(sf), "ann"), nprobe=2)
     o["media_byte_features"] = dp_oracle.media_features_sql()
-    # media_decode_stub: pandas-UDF path, deliberately no SQL oracle
+    o["media_decode"] = dp_oracle.media_decode_sql()
 
     return o
