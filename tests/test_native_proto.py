@@ -1,0 +1,95 @@
+"""Vector native protobuf wire codec (functions/native_proto.py) vs the
+proto/event.proto schema: value-kind roundtrips, metric branches,
+unsupported-branch errors, and cross-check against the native JSON codec
+on identical events."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.functions import native_proto as np_
+
+
+def test_log_value_kinds_roundtrip():
+    fields = {"s": "héllo", "i": -(2 ** 40), "f": 2.5, "b": False,
+              "none": None, "m": {"inner": [1, "x", None, {"d": 1.5}]}}
+    assert np_.decode_event_wrapper(np_.encode_log_event(fields)) == {
+        "log": fields}
+
+
+def test_metric_counter_and_gauge():
+    c = np_.decode_event_wrapper(np_.encode_metric_event(
+        "req_total", "incremental", 3.0, "counter", tags={"h": "a"},
+        namespace="vs"))
+    assert c["metric"]["counter"] == {"value": 3.0}
+    assert c["metric"]["kind"] == "incremental"
+    assert c["metric"]["tags"] == {"h": "a"}
+    assert c["metric"]["namespace"] == "vs"
+    g = np_.decode_event_wrapper(np_.encode_metric_event(
+        "mem", "absolute", 0.5, "gauge"))
+    assert g["metric"]["gauge"] == {"value": 0.5}
+    assert g["metric"]["kind"] == "absolute"
+
+
+def test_metric_timestamp_roundtrip():
+    m = np_.decode_event_wrapper(np_.encode_metric_event(
+        "m", "absolute", 1.0, "gauge", epoch_us=1700000000123456))
+    assert m["metric"]["timestamp"] == "2023-11-14T22:13:20.123456Z"
+
+
+def test_unsupported_metric_branch_raises():
+    # splice a Sketch (field 15) branch into a metric body
+    body = np_._len_field(1, b"m") + np_._len_field(15, b"")
+    wrapper = np_._len_field(2, body)
+    with pytest.raises(ValueError, match="sketch"):
+        np_.decode_event_wrapper(wrapper)
+
+
+def test_empty_wrapper_raises():
+    with pytest.raises(ValueError, match="empty EventWrapper"):
+        np_.decode_event_wrapper(b"")
+
+
+def test_negative_int64_ten_byte_varint():
+    b = np_._write_int64(-1)
+    assert len(b) == 10  # proto3 two's-complement int64 encoding
+    v, off = np_._read_varint(b, 0)
+    assert np_._as_int64(v) == -1 and off == 10
+
+
+def test_cross_check_with_native_json(spark):
+    """The proto and JSON native codecs must decode identical events to
+    identical columns (the reference treats them as the same logical
+    codec with two framings)."""
+    from vector_spark.functions.parse_presets import (
+        encode_native_log, encode_native_metric, parse_native_json)
+
+    df = spark.createDataFrame(
+        [(i, f"msg-{i}") for i in range(8)], "turn_idx long, text string")
+    cols = ["turn_idx", "event_type", "log_message", "metric_name",
+            "metric_kind", "metric_value", "metric_value_type"]
+
+    pb = np_.parse_native_proto(df.select(
+        "turn_idx",
+        F.when(F.col("turn_idx") % 2 == 0,
+               np_.encode_native_proto_log(
+                   F.struct(F.col("text").alias("message"))))
+        .otherwise(np_.encode_native_proto_metric(
+            F.lit("t"), F.lit("incremental"),
+            F.col("turn_idx").cast("double"))).alias("payload_pb")))
+    pb_rows = (pb.withColumn("log_message",
+                             F.get_json_object("payload", "$.message"))
+               .select(*cols).orderBy("turn_idx").collect())
+
+    js = parse_native_json(df.select(
+        "turn_idx",
+        F.when(F.col("turn_idx") % 2 == 0,
+               encode_native_log(F.struct(F.col("text").alias("message"))))
+        .otherwise(encode_native_metric(
+            F.lit("t"), F.lit("incremental"),
+            F.col("turn_idx").cast("double"),
+            value_type="counter")).alias("text")))
+    js_rows = (js.withColumn("log_message",
+                             F.get_json_object("payload", "$.message"))
+               .select(*cols).orderBy("turn_idx").collect())
+
+    assert [tuple(r) for r in pb_rows] == [tuple(r) for r in js_rows]

@@ -346,6 +346,35 @@ def q_parse_csv_roundtrip(spark, sf_dir):
                          F.col("rec.text").alias("text"))
 
 
+#: writer schema for the avro round-trip (tool is nullable in the fixture)
+AVRO_TURN_SCHEMA = ('{"type":"record","name":"Turn","fields":['
+                    '{"name":"role","type":["null","string"]},'
+                    '{"name":"tool","type":["null","string"]},'
+                    '{"name":"text","type":["null","string"]},'
+                    '{"name":"turn_idx","type":"long"}]}')
+
+
+def q_avro_roundtrip(spark, sf_dir):
+    """encode_avro -> decode_avro round trip through the pure-Python
+    Avro binary codec (functions/avro_codec.py; reference parity:
+    lib/codecs/src/{decoding,encoding}/format/avro.rs). Nullable-union
+    strings, zigzag longs, actual wire bytes both ways; oracle =
+    identity projection so any spec asymmetry fails the hash."""
+    from vector_spark.functions.binary_codecs import decode_avro, encode_avro
+
+    t = _transcripts(spark, sf_dir)
+    enc = t.select(
+        "conv_id",
+        encode_avro(F.struct("role", "tool", "text",
+                             F.col("turn_idx").cast("long").alias("turn_idx")),
+                    AVRO_TURN_SCHEMA).alias("payload"))
+    dec = enc.withColumn("rec", decode_avro(F.col("payload"), AVRO_TURN_SCHEMA))
+    return dec.select("conv_id", F.col("rec.turn_idx").alias("turn_idx"),
+                      F.col("rec.role").alias("role"),
+                      F.col("rec.tool").alias("tool"),
+                      F.col("rec.text").alias("text"))
+
+
 def q_parse_key_value(spark, sf_dir):
     """encode_logfmt -> parse_key_value round trip, quote-aware: ``text``
     values contain spaces / quotes / '=' so they encode double-quoted with
@@ -773,6 +802,34 @@ def q_parse_native_json(spark, sf_dir):
         F.when(F.col("turn_idx") % 2 == 0, log_line)
         .otherwise(metric_line).alias("text"))
     p = parse_native_json(enc)
+    return p.select(
+        "conv_id", "turn_idx", "event_type",
+        F.get_json_object("payload", "$.message").alias("log_message"),
+        "metric_name", "metric_kind", "metric_value", "metric_value_type")
+
+
+def q_parse_native_proto(spark, sf_dir):
+    """Vector native PROTOBUF codec round-trip (functions/native_proto.py;
+    lib/codecs decoding/format/native.rs + proto/event.proto): encode the
+    SAME alternating log/metric events as parse_native_json through the
+    hand-rolled proto3 wire codec, decode, surface identical columns —
+    the two native codecs cross-check via their shared oracle."""
+    from vector_spark.functions.native_proto import (
+        encode_native_proto_log, encode_native_proto_metric,
+        parse_native_proto)
+
+    t = _transcripts(spark, sf_dir)
+    log_pb = encode_native_proto_log(
+        F.struct(F.col("text").alias("message"),
+                 F.col("conv_id").alias("conv")))
+    metric_pb = encode_native_proto_metric(
+        F.lit("turns_total"), F.lit("incremental"),
+        F.col("turn_idx").cast("double"), value_type="counter")
+    enc = t.select(
+        "conv_id", "turn_idx",
+        F.when(F.col("turn_idx") % 2 == 0, log_pb)
+        .otherwise(metric_pb).alias("payload_pb"))
+    p = parse_native_proto(enc)
     return p.select(
         "conv_id", "turn_idx", "event_type",
         F.get_json_object("payload", "$.message").alias("log_message"),
@@ -1469,6 +1526,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_byte_features": q_media_features,
     "media_decode": q_media_decode,
     "tag_cardinality_bloom": q_cardinality_bloom,
+    "avro_roundtrip": q_avro_roundtrip,
     "parse_csv_roundtrip": q_parse_csv_roundtrip,
     "parse_aws_alb": q_parse_aws_alb,
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,
@@ -1482,6 +1540,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_influxdb": q_parse_influxdb,
     "enrich_mmdb_geoip": q_enrich_mmdb,
     "parse_native_json": q_parse_native_json,
+    "parse_native_proto": q_parse_native_proto,
     "ddsearch_filter": q_ddsearch_filter,
     "parse_key_value_roundtrip": q_parse_key_value,
     "remap_dropped_port": q_remap_dropped,
@@ -1824,6 +1883,9 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
     # encode->parse must be lossless for the hashes to match
     o["parse_csv_roundtrip"] = f"""SELECT conv_id, turn_idx, role, tool, text
       FROM read_parquet('{tp}')"""
+    o["avro_roundtrip"] = f"""SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+             role, tool, text
+      FROM read_parquet('{tp}')"""
     # AWS parse family: the Spark side synthesizes the log line from the
     # same table columns, so the oracle derives every parsed field
     # directly — any tokenizer/quoting/typing bug breaks the hash.
@@ -2002,6 +2064,9 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
                  AS metric_value,
              CASE WHEN turn_idx % 2 = 1 THEN 'counter' END AS metric_value_type
       FROM read_parquet('{tp}')"""
+    # the proto twin decodes the same events to the same columns — one
+    # oracle covers both codecs, so they cross-check each other
+    o["parse_native_proto"] = o["parse_native_json"]
 
     _mm_ip = ("CASE turn_idx % 4 WHEN 0 THEN '10.1.' WHEN 1 THEN '10.200.'"
               " WHEN 2 THEN '192.168.' ELSE '172.30.' END"

@@ -1,0 +1,291 @@
+"""Pure-Python Avro binary codec — un-gates avro in this sandbox.
+
+Reference parity: lib/codecs/src/decoding/format/avro.rs (schema-driven
+single-object decode, optional Confluent 5-byte schema-id prefix strip)
+and encoding/format/avro.rs. The reference delegates to the apache_avro
+crate; this module implements the same public Avro 1.x binary spec
+(zigzag varints, length-prefixed strings/bytes, index-prefixed unions,
+block-encoded arrays/maps) directly, so no spark-avro jar is needed.
+On a real cluster the JVM `from_avro`/`to_avro` path in
+functions/binary_codecs.py remains the fast path; this one is the
+sandbox-verifiable twin and the fallback when the module isn't loaded.
+
+Spark shape: one Arrow ``pandas_udf`` per direction — the schema is
+parsed once driver-side and ships in the closure; executors run a tight
+bytes loop per Arrow batch, never per-row Python in the plan.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CONFLUENT_PREFIX_LEN = 5  # magic byte 0x00 + 4-byte schema id
+
+# ---------------------------------------------------------------------------
+# schema parsing (the subset Vector's log events use: records of
+# primitives, unions-with-null, arrays, maps, enums, fixed)
+# ---------------------------------------------------------------------------
+
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double",
+               "bytes", "string"}
+
+
+def parse_schema(schema_json: str | dict):
+    """Normalize an Avro schema declaration to a plain dict tree."""
+    s = schema_json
+    if isinstance(s, str):
+        if s in _PRIMITIVES:  # bare primitive name, e.g. "string"
+            return {"type": s}
+        s = json.loads(s)
+    if isinstance(s, str):
+        if s not in _PRIMITIVES:
+            raise ValueError(f"avro: unknown named type reference {s!r}")
+        return {"type": s}
+    if isinstance(s, list):  # union
+        return {"type": "union", "branches": [parse_schema(b) for b in s]}
+    t = s["type"]
+    if t in _PRIMITIVES:
+        return {"type": t}
+    if t == "record":
+        return {"type": "record", "fields": [
+            {"name": f["name"], "schema": parse_schema(f["type"])}
+            for f in s["fields"]]}
+    if t == "array":
+        return {"type": "array", "items": parse_schema(s["items"])}
+    if t == "map":
+        return {"type": "map", "values": parse_schema(s["values"])}
+    if t == "enum":
+        return {"type": "enum", "symbols": list(s["symbols"])}
+    if t == "fixed":
+        return {"type": "fixed", "size": int(s["size"])}
+    if isinstance(t, (list, dict)):
+        return parse_schema(t)
+    raise ValueError(f"avro: unsupported schema type {t!r}")
+
+
+def spark_type_for(schema) -> T.DataType:
+    """Avro schema tree -> Spark DataType (unions with null collapse to
+    their non-null branch, other unions are unsupported — same shape
+    spark-avro produces)."""
+    t = schema["type"]
+    simple = {"null": T.NullType(), "boolean": T.BooleanType(),
+              "int": T.IntegerType(), "long": T.LongType(),
+              "float": T.FloatType(), "double": T.DoubleType(),
+              "bytes": T.BinaryType(), "string": T.StringType(),
+              "enum": T.StringType(), "fixed": T.BinaryType()}
+    if t in simple:
+        return simple[t]
+    if t == "union":
+        non_null = [b for b in schema["branches"] if b["type"] != "null"]
+        if len(non_null) != 1:
+            raise ValueError("avro: only unions of null + one type supported")
+        return spark_type_for(non_null[0])
+    if t == "record":
+        return T.StructType([
+            T.StructField(f["name"], spark_type_for(f["schema"]), True)
+            for f in schema["fields"]])
+    if t == "array":
+        return T.ArrayType(spark_type_for(schema["items"]))
+    if t == "map":
+        return T.MapType(T.StringType(), spark_type_for(schema["values"]))
+    raise ValueError(f"avro: no spark type for {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# binary decode (spec: zigzag varint longs, length-prefixed bytes,
+# union index prefix, block-encoded collections)
+# ---------------------------------------------------------------------------
+
+def _read_long(b: bytes, off: int) -> tuple[int, int]:
+    shift = acc = 0
+    while True:
+        byte = b[off]
+        off += 1
+        acc |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), off  # zigzag
+
+
+def _decode(schema, b: bytes, off: int):
+    t = schema["type"]
+    if t == "null":
+        return None, off
+    if t == "boolean":
+        return b[off] != 0, off + 1
+    if t in ("int", "long"):
+        return _read_long(b, off)
+    if t == "float":
+        return struct.unpack("<f", b[off:off + 4])[0], off + 4
+    if t == "double":
+        return struct.unpack("<d", b[off:off + 8])[0], off + 8
+    if t in ("bytes", "string"):
+        n, off = _read_long(b, off)
+        raw = b[off:off + n]
+        return (raw.decode("utf-8") if t == "string" else bytes(raw)), off + n
+    if t == "fixed":
+        n = schema["size"]
+        return bytes(b[off:off + n]), off + n
+    if t == "enum":
+        i, off = _read_long(b, off)
+        return schema["symbols"][i], off
+    if t == "union":
+        i, off = _read_long(b, off)
+        return _decode(schema["branches"][i], b, off)
+    if t == "record":
+        out = {}
+        for f in schema["fields"]:
+            out[f["name"]], off = _decode(f["schema"], b, off)
+        return out, off
+    if t in ("array", "map"):
+        items = [] if t == "array" else {}
+        while True:
+            n, off = _read_long(b, off)
+            if n == 0:
+                break
+            if n < 0:  # negative count: a byte size follows (skippable blocks)
+                n = -n
+                _, off = _read_long(b, off)
+            for _ in range(n):
+                if t == "array":
+                    v, off = _decode(schema["items"], b, off)
+                    items.append(v)
+                else:
+                    k, off = _decode({"type": "string"}, b, off)
+                    v, off = _decode(schema["values"], b, off)
+                    items[k] = v
+        return items, off
+    raise ValueError(f"avro: cannot decode type {t!r}")
+
+
+def decode_record(schema, payload: bytes, strip_prefix: bool = False):
+    b = bytes(payload)
+    if strip_prefix:
+        if len(b) < CONFLUENT_PREFIX_LEN or b[0] != 0:
+            raise ValueError("avro: missing Confluent schema-id prefix")
+        b = b[CONFLUENT_PREFIX_LEN:]
+    val, _ = _decode(schema, b, 0)
+    return val
+
+
+# ---------------------------------------------------------------------------
+# binary encode
+# ---------------------------------------------------------------------------
+
+def _write_long(n: int) -> bytes:
+    acc = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = bytearray()
+    while True:
+        byte = acc & 0x7F
+        acc >>= 7
+        if acc:
+            out.append(byte | 0x80)
+        else:
+            out.append(byte)
+            return bytes(out)
+
+
+def _encode(schema, v) -> bytes:
+    t = schema["type"]
+    if t == "null":
+        return b""
+    if t == "boolean":
+        return b"\x01" if v else b"\x00"
+    if t in ("int", "long"):
+        return _write_long(int(v))
+    if t == "float":
+        return struct.pack("<f", float(v))
+    if t == "double":
+        return struct.pack("<d", float(v))
+    if t == "string":
+        raw = str(v).encode("utf-8")
+        return _write_long(len(raw)) + raw
+    if t == "bytes":
+        return _write_long(len(v)) + bytes(v)
+    if t == "fixed":
+        if len(v) != schema["size"]:
+            raise ValueError("avro: fixed size mismatch")
+        return bytes(v)
+    if t == "enum":
+        return _write_long(schema["symbols"].index(v))
+    if t == "union":
+        for i, br in enumerate(schema["branches"]):
+            if (v is None) == (br["type"] == "null"):
+                return _write_long(i) + _encode(br, v)
+        raise ValueError("avro: no union branch for value")
+    if t == "record":
+        return b"".join(_encode(f["schema"], v.get(f["name"]))
+                        for f in schema["fields"])
+    if t == "array":
+        body = b"".join(_encode(schema["items"], x) for x in v)
+        return (_write_long(len(v)) + body + b"\x00") if v else b"\x00"
+    if t == "map":
+        body = b"".join(
+            _encode({"type": "string"}, k) + _encode(schema["values"], x)
+            for k, x in v.items())
+        return (_write_long(len(v)) + body + b"\x00") if v else b"\x00"
+    raise ValueError(f"avro: cannot encode type {t!r}")
+
+
+def encode_record(schema, value) -> bytes:
+    return _encode(schema, value)
+
+
+# ---------------------------------------------------------------------------
+# Spark column functions (Arrow pandas UDFs)
+# ---------------------------------------------------------------------------
+
+def _to_py(v):
+    """pandas/numpy scalars + Row-as-dict -> plain Python for the encoder."""
+    if hasattr(v, "asDict"):
+        return {k: _to_py(x) for k, x in v.asDict().items()}
+    if isinstance(v, dict):
+        return {k: _to_py(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_to_py(x) for x in v]
+    if not isinstance(v, bytes) and pd.isna(v):
+        return None
+    return v.item() if hasattr(v, "item") else v
+
+
+def py_decode_avro(data: Column, json_schema: str,
+                   strip_schema_id_prefix: bool = False) -> Column:
+    """Avro binary -> struct column, pure-Python spec decode (Arrow
+    batches). Twin of binary_codecs.decode_avro (JVM path)."""
+    schema = parse_schema(json_schema)
+    if schema["type"] != "record":
+        raise ValueError("avro decode: top-level schema must be a record")
+    out_type = spark_type_for(schema)
+    names = [f.name for f in out_type.fields]
+
+    @F.pandas_udf(out_type)
+    def dec(payloads: pd.Series) -> pd.DataFrame:
+        rows = [decode_record(schema, p, strip_schema_id_prefix)
+                for p in payloads]
+        return pd.DataFrame({n: [r.get(n) for r in rows] for n in names})
+
+    return dec(data)
+
+
+def py_encode_avro(data: Column, json_schema: str) -> Column:
+    """struct column -> Avro binary (single-object, no container file) —
+    twin of binary_codecs.encode_avro."""
+    schema = parse_schema(json_schema)
+
+    @F.pandas_udf("binary")
+    def enc(rows: pd.DataFrame) -> pd.Series:
+        field_names = list(rows.columns)
+        out = []
+        for tup in rows.itertuples(index=False):
+            rec = {n: _to_py(v) for n, v in zip(field_names, tup)}
+            out.append(encode_record(schema, rec))
+        return pd.Series(out)
+
+    return enc(data)

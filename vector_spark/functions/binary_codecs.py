@@ -5,11 +5,12 @@ Reference: avro + protobuf decoders/encoders in lib/codecs/src/
 (spark-avro module) and `from_protobuf`/`to_protobuf` (spark-protobuf
 module). NEITHER external module ships in this sandbox's Spark build —
 verified: only core avro-1.12.1.jar is present and `to_avro` raises
-AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE. These wrappers detect that and
-raise an actionable error naming the --packages remedy; on a cluster
-with the modules loaded they pass straight through to the native
-functions, and the decode step composes with the shared parse stage
-exactly like the json codec.
+AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE. Avro therefore FALLS BACK to the
+pure-Python spec codec in functions/avro_codec.py (Arrow pandas UDF,
+sandbox-verified); with spark-avro loaded the wrappers pass straight
+through to the native JVM functions. Protobuf decode stays gated with
+an actionable --packages error (the hand-rolled Vector `native` wire
+codec lives in functions/native_proto.py).
 """
 
 from __future__ import annotations
@@ -33,19 +34,44 @@ def _require_class(class_name: str, remedy: str) -> None:
         raise RuntimeError(remedy) from None
 
 
-def decode_avro(data: Column, json_schema: str) -> Column:
-    """Avro binary -> struct per the writer schema (decoding/format/avro)."""
-    _require_class("org.apache.spark.sql.avro.AvroDataToCatalyst", _AVRO_REMEDY)
-    from pyspark.sql.avro.functions import from_avro
+def _avro_module_loaded() -> bool:
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.avro.AvroDataToCatalyst")
+        return True
+    except Exception:
+        return False
 
-    return from_avro(data, json_schema)
+
+def decode_avro(data: Column, json_schema: str) -> Column:
+    """Avro binary -> struct per the writer schema (decoding/format/avro).
+
+    JVM `from_avro` when spark-avro is loaded (the cluster fast path);
+    otherwise the pure-Python spec decoder in functions/avro_codec.py
+    (Arrow pandas UDF) — same output struct, sandbox-verified."""
+    if _avro_module_loaded():
+        from pyspark.sql.avro.functions import from_avro
+
+        return from_avro(data, json_schema)
+    from vector_spark.functions.avro_codec import py_decode_avro
+
+    return py_decode_avro(data, json_schema)
 
 
 def encode_avro(data: Column, json_schema: str | None = None) -> Column:
-    _require_class("org.apache.spark.sql.avro.AvroDataToCatalyst", _AVRO_REMEDY)
-    from pyspark.sql.avro.functions import to_avro
+    if _avro_module_loaded():
+        from pyspark.sql.avro.functions import to_avro
 
-    return to_avro(data, json_schema) if json_schema else to_avro(data)
+        return to_avro(data, json_schema) if json_schema else to_avro(data)
+    if json_schema is None:
+        raise RuntimeError(
+            "pure-Python avro encode needs an explicit schema; " + _AVRO_REMEDY)
+    from vector_spark.functions.avro_codec import py_encode_avro
+
+    return py_encode_avro(data, json_schema)
 
 
 def decode_protobuf(data: Column, message_name: str, desc_file: str) -> Column:

@@ -1,0 +1,350 @@
+"""Vector `native` protobuf codec — hand-rolled proto3 wire decode/encode.
+
+Reference: lib/codecs/src/decoding/format/native.rs + the public schema
+at proto/vector/vector.proto and proto/event.proto (EventWrapper with a
+oneof of Log / Metric / Trace; Log carries map<string, Value> fields;
+Metric carries name/kind/tags and a oneof of counter/gauge/...). This is
+what vector-to-vector links actually ship. No protobuf library is
+needed: the proto3 wire format (varint keys, zigzag-free int64,
+length-delimited submessages, map entries as {1: key, 2: value}
+messages) is small and stable, decoded here the same way the mmdb
+binary was — directly from its public spec.
+
+Covered event shapes: Log (fields map, Value kinds bytes/timestamp/
+integer/float/boolean/map/array/null), Trace (fields map), Metric with
+counter/gauge values, kind, tags_v1, namespace, interval_ms, timestamp.
+The exotic metric branches (sketches, histograms v1-3) raise a clear
+error naming the field — honest partiality, same policy as the OTLP
+decoder.
+
+Spark shape: one Arrow ``pandas_udf`` per direction; the decode output
+mirrors ``parse_native_json``'s columns (event_type / payload /
+metric_*) so the two codecs cross-check on identical events.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import struct
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# -- wire primitives --------------------------------------------------------
+
+_WT_VARINT, _WT_I64, _WT_LEN, _WT_I32 = 0, 1, 2, 5
+
+
+def _read_varint(b: bytes, off: int) -> tuple[int, int]:
+    shift = acc = 0
+    while True:
+        byte = b[off]
+        off += 1
+        acc |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return acc, off
+        shift += 7
+
+
+def _write_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        byte = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(byte | 0x80)
+        else:
+            out.append(byte)
+            return bytes(out)
+
+
+def _write_int64(n: int) -> bytes:
+    return _write_varint(n + (1 << 64) if n < 0 else n)
+
+
+def _as_int64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _key(field: int, wt: int) -> bytes:
+    return _write_varint((field << 3) | wt)
+
+
+def _iter_fields(b: bytes):
+    """Yield (field_number, wire_type, value) over one message body.
+    LEN fields yield the raw bytes slice; I64 the 8 raw bytes."""
+    off = 0
+    while off < len(b):
+        tag, off = _read_varint(b, off)
+        field, wt = tag >> 3, tag & 0x7
+        if wt == _WT_VARINT:
+            v, off = _read_varint(b, off)
+        elif wt == _WT_I64:
+            v = b[off:off + 8]
+            off += 8
+        elif wt == _WT_LEN:
+            n, off = _read_varint(b, off)
+            v = b[off:off + n]
+            off += n
+        elif wt == _WT_I32:
+            v = b[off:off + 4]
+            off += 4
+        else:
+            raise ValueError(f"native proto: wire type {wt} unsupported")
+        yield field, wt, v
+
+
+def _len_field(field: int, body: bytes) -> bytes:
+    return _key(field, _WT_LEN) + _write_varint(len(body)) + body
+
+
+# -- Timestamp (google.protobuf.Timestamp: seconds=1, nanos=2) -------------
+
+def _decode_timestamp(b: bytes) -> str:
+    secs = nanos = 0
+    for f, _wt, v in _iter_fields(b):
+        if f == 1:
+            secs = _as_int64(v)
+        elif f == 2:
+            nanos = v
+    t = _dt.datetime.fromtimestamp(secs, tz=_dt.timezone.utc)
+    return t.strftime("%Y-%m-%dT%H:%M:%S") + f".{nanos // 1000:06d}Z"
+
+
+def _encode_timestamp(epoch_us: int) -> bytes:
+    secs, us = divmod(epoch_us, 1_000_000)
+    out = _key(1, _WT_VARINT) + _write_int64(secs)
+    if us:
+        out += _key(2, _WT_VARINT) + _write_varint(us * 1000)
+    return out
+
+
+# -- Value (event.proto: oneof raw_bytes/timestamp/integer/float/boolean/
+#    map/array/null) --------------------------------------------------------
+
+def decode_value(b: bytes):
+    for f, _wt, v in _iter_fields(b):
+        if f == 1:  # raw_bytes: Vector's Bytes value — UTF-8 text in JSON
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return bytes(v)
+        if f == 2:
+            return _decode_timestamp(v)
+        if f == 4:
+            return _as_int64(v)
+        if f == 5:
+            return struct.unpack("<d", v)[0]
+        if f == 6:
+            return bool(v)
+        if f == 7:  # ValueMap{fields=1 map<string,Value>}
+            return _decode_value_map(v)
+        if f == 8:  # ValueArray{items=1 repeated Value}
+            return [decode_value(item) for ff, _w, item in _iter_fields(v)
+                    if ff == 1]
+        if f == 9:
+            return None
+    return None  # empty Value message
+
+
+def _decode_map_entry(b: bytes, value_dec):
+    k = ""
+    val = None
+    for f, _wt, v in _iter_fields(b):
+        if f == 1:
+            k = v.decode("utf-8")
+        elif f == 2:
+            val = value_dec(v)
+    return k, val
+
+
+def _decode_value_map(b: bytes) -> dict:
+    out = {}
+    for f, _wt, v in _iter_fields(b):
+        if f == 1:
+            k, val = _decode_map_entry(v, decode_value)
+            out[k] = val
+    return out
+
+
+def encode_value(v) -> bytes:
+    if v is None:
+        return _key(9, _WT_VARINT) + b"\x00"
+    if isinstance(v, bool):
+        return _key(6, _WT_VARINT) + (b"\x01" if v else b"\x00")
+    if isinstance(v, int):
+        return _key(4, _WT_VARINT) + _write_int64(v)
+    if isinstance(v, float):
+        return _key(5, _WT_I64) + struct.pack("<d", v)
+    if isinstance(v, str):
+        return _len_field(1, v.encode("utf-8"))
+    if isinstance(v, bytes):
+        return _len_field(1, v)
+    if isinstance(v, dict):
+        body = b"".join(
+            _len_field(1, _len_field(1, k.encode("utf-8"))
+                       + _len_field(2, encode_value(x)))
+            for k, x in v.items())
+        return _len_field(7, body)
+    if isinstance(v, (list, tuple)):
+        body = b"".join(_len_field(1, encode_value(x)) for x in v)
+        return _len_field(8, body)
+    raise TypeError(f"native proto Value: unsupported {type(v)}")
+
+
+# -- Log / Trace / Metric ----------------------------------------------------
+
+def _decode_fields_map(b: bytes, map_field: int = 1) -> dict:
+    out = {}
+    for f, _wt, v in _iter_fields(b):
+        if f == map_field:
+            k, val = _decode_map_entry(v, decode_value)
+            out[k] = val
+    return out
+
+
+_METRIC_UNSUPPORTED = {7: "set", 8: "distribution1", 9: "aggregated_histogram1",
+                       10: "aggregated_summary1", 12: "distribution2",
+                       13: "aggregated_histogram2", 14: "aggregated_summary2",
+                       15: "sketch", 16: "aggregated_histogram3",
+                       17: "aggregated_summary3"}
+
+
+def _decode_simple_value(b: bytes) -> float:
+    for f, _wt, v in _iter_fields(b):
+        if f == 1:
+            return struct.unpack("<d", v)[0]
+    return 0.0
+
+
+def decode_metric(b: bytes) -> dict:
+    out: dict = {"name": None, "kind": "incremental"}
+    for f, _wt, v in _iter_fields(b):
+        if f == 1:
+            out["name"] = v.decode("utf-8")
+        elif f == 2:
+            out["timestamp"] = _decode_timestamp(v)
+        elif f == 3:
+            out.setdefault("tags", {})
+            k, val = _decode_map_entry(v, lambda x: x.decode("utf-8"))
+            out["tags"][k] = val
+        elif f == 4:
+            out["kind"] = "absolute" if v == 1 else "incremental"
+        elif f == 5:
+            out["counter"] = {"value": _decode_simple_value(v)}
+        elif f == 6:
+            out["gauge"] = {"value": _decode_simple_value(v)}
+        elif f == 11:
+            out["namespace"] = v.decode("utf-8")
+        elif f == 18:
+            out["interval_ms"] = v
+        elif f in _METRIC_UNSUPPORTED:
+            raise ValueError(
+                f"native proto metric: {_METRIC_UNSUPPORTED[f]} branch not "
+                f"supported by this decoder (counter/gauge only)")
+    return out
+
+
+def decode_event_wrapper(b: bytes) -> dict:
+    """EventWrapper -> the same externally-tagged envelope dict that the
+    native JSON codec round-trips: {"log": {...}} | {"metric": {...}} |
+    {"trace": {...}}."""
+    for f, _wt, v in _iter_fields(bytes(b)):
+        if f == 1:
+            return {"log": _decode_fields_map(v)}
+        if f == 2:
+            return {"metric": decode_metric(v)}
+        if f == 3:
+            return {"trace": _decode_fields_map(v)}
+    raise ValueError("native proto: empty EventWrapper")
+
+
+def encode_log_event(fields: dict) -> bytes:
+    body = b"".join(
+        _len_field(1, _len_field(1, k.encode("utf-8"))
+                   + _len_field(2, encode_value(v)))
+        for k, v in fields.items())
+    return _len_field(1, body)  # EventWrapper.log
+
+
+def encode_metric_event(name: str, kind: str, value: float,
+                        value_type: str = "counter",
+                        tags: dict | None = None,
+                        namespace: str | None = None,
+                        epoch_us: int | None = None) -> bytes:
+    body = _len_field(1, name.encode("utf-8"))
+    if epoch_us is not None:
+        body += _len_field(2, _encode_timestamp(epoch_us))
+    for k, v in (tags or {}).items():
+        body += _len_field(3, _len_field(1, k.encode("utf-8"))
+                           + _len_field(2, v.encode("utf-8")))
+    if kind == "absolute":
+        body += _key(4, _WT_VARINT) + b"\x01"
+    val = _key(1, _WT_I64) + struct.pack("<d", float(value))
+    body += _len_field(5 if value_type == "counter" else 6, val)
+    if namespace:
+        body += _len_field(11, namespace.encode("utf-8"))
+    return _len_field(2, body)  # EventWrapper.metric
+
+
+# -- Spark column functions ---------------------------------------------------
+
+def encode_native_proto_log(struct_col: Column) -> Column:
+    """struct -> EventWrapper(log) wire bytes (Arrow batches)."""
+    @F.pandas_udf("binary")
+    def enc(rows: pd.DataFrame) -> pd.Series:
+        cols = list(rows.columns)
+        return pd.Series([
+            encode_log_event({c: (None if pd.isna(v) else
+                                  v.item() if hasattr(v, "item") else v)
+                              for c, v in zip(cols, tup)})
+            for tup in rows.itertuples(index=False)])
+
+    return enc(struct_col)
+
+
+def encode_native_proto_metric(name: Column, kind: Column, value: Column,
+                               value_type: str = "counter") -> Column:
+    """(name, kind, value) -> EventWrapper(metric) wire bytes."""
+    @F.pandas_udf("binary")
+    def enc(n: pd.Series, k: pd.Series, v: pd.Series) -> pd.Series:
+        return pd.Series([
+            encode_metric_event(str(a), str(b), float(c), value_type)
+            for a, b, c in zip(n, k, v)])
+
+    return enc(name, kind, value)
+
+
+NATIVE_PROTO_SCHEMA = ("event_type string, payload string, "
+                       "metric_name string, metric_kind string, "
+                       "metric_value double, metric_value_type string")
+
+
+def parse_native_proto(df: DataFrame, bin_col: str = "payload_pb") -> DataFrame:
+    """EventWrapper wire bytes -> the same columns parse_native_json
+    yields (event_type discriminator, log/trace payload as JSON text,
+    typed metric fields), so the two native codecs cross-check."""
+    @F.pandas_udf(NATIVE_PROTO_SCHEMA)
+    def dec(payloads: pd.Series) -> pd.DataFrame:
+        rows = []
+        for p in payloads:
+            env = decode_event_wrapper(p)
+            if "metric" in env:
+                m = env["metric"]
+                vt = "counter" if "counter" in m else (
+                    "gauge" if "gauge" in m else None)
+                rows.append(("metric", None, m.get("name"), m.get("kind"),
+                             m.get(vt, {}).get("value") if vt else None, vt))
+            else:
+                tag = "log" if "log" in env else "trace"
+                rows.append((tag, json.dumps(env[tag], sort_keys=True),
+                             None, None, None, None))
+        return pd.DataFrame(rows, columns=["event_type", "payload",
+                                           "metric_name", "metric_kind",
+                                           "metric_value",
+                                           "metric_value_type"])
+
+    out = df.withColumn("__np", dec(F.col(bin_col)))
+    return out.select(*df.columns, "__np.*").drop("__np")
