@@ -1,0 +1,135 @@
+"""IPv6 mmdb path (sources/mmdb.py networks_v6 + operators/geoip.py
+enrich_cidr6 + functions/vrl.ip6_to_hex128): full 128-bit enumeration,
+the data-record-above-::/96 fix, mixed-family lookups vs an ipaddress
+oracle, and the broadcast plan shape."""
+
+import ipaddress
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.sources.mmdb import (DEMO_NETWORKS_V6, MmdbReader,
+                                       enrich_mmdb, ensure_demo_mmdb_v6,
+                                       mmdb_to_cidr_table, write_mmdb)
+
+V6_NETS = [
+    ("2001:db8::/32", {"country": {"iso_code": "DB"}, "asn": 64600}),
+    ("2001:db8:1::/48", {"country": {"iso_code": "DC"}, "asn": 64601}),
+    ("fd00::/8", {"country": {"iso_code": "UL"}, "asn": 64700}),
+    ("10.0.0.0/8", {"country": {"iso_code": "AA"}, "asn": 64512}),
+    ("10.1.0.0/16", {"country": {"iso_code": "BB"}, "asn": 64513}),
+]
+
+
+def _norm6(ip: str) -> ipaddress.IPv6Address:
+    if ":" not in ip:
+        return ipaddress.IPv6Address(int(ipaddress.IPv4Address(ip)))
+    return ipaddress.IPv6Address(ip)
+
+
+def _oracle(networks, ip):
+    """Longest-prefix lookup in the 128-bit space, v4 embedded at ::/96."""
+    a = _norm6(ip)
+    best = None
+    for cidr, rec in networks:
+        if ":" not in cidr:
+            n4 = ipaddress.IPv4Network(cidr)
+            n = ipaddress.IPv6Network((int(n4.network_address),
+                                       96 + n4.prefixlen))
+        else:
+            n = ipaddress.IPv6Network(cidr)
+        if a in n and (best is None or n.prefixlen > best[0]):
+            best = (n.prefixlen, rec)
+    return best[1] if best else None
+
+
+@pytest.mark.parametrize("record_size", [24, 28, 32])
+def test_v6_tree_enumeration_matches_oracle(tmp_path, record_size):
+    p = str(tmp_path / f"t6-{record_size}.mmdb")
+    write_mmdb(p, V6_NETS, record_size=record_size, build_epoch=1,
+               ip_version=6)
+    r = MmdbReader.open(p)
+    assert r.ip_version == 6
+    nets = list(r.networks_v6())
+    # enumerated networks must be disjoint and lookup-equal to the oracle
+    seen = [ipaddress.IPv6Network(c) for c, _ in nets]
+    for i, a in enumerate(seen):
+        for b in seen[i + 1:]:
+            assert not a.overlaps(b), (a, b)
+    for ip in ("2001:db8::1", "2001:db8:1::5", "2001:db8:2::5",
+               "fd12:3456::1", "10.1.2.3", "10.200.0.1", "192.168.1.1",
+               "abcd::1", "2001:db9::1"):
+        exp = _oracle(V6_NETS, ip)
+
+        def enum_lookup(ip):
+            a = _norm6(ip)
+            for cidr, rec in nets:
+                if a in ipaddress.IPv6Network(cidr):
+                    return rec
+            return None
+        assert enum_lookup(ip) == exp, ip
+
+
+def test_v4_tree_presents_as_v6_mapped(tmp_path):
+    p = str(tmp_path / "t4.mmdb")
+    write_mmdb(p, [("10.0.0.0/8", {"asn": 1})], build_epoch=1)
+    nets = list(MmdbReader.open(p).networks_v6())
+    assert nets == [("::a00:0/104", {"asn": 1})]
+
+
+def test_data_record_above_v6_root_yields_default(tmp_path):
+    """A data record met during the 96-bit descent (a ::/0 default
+    covers all of v4) must surface as the v4 default route, not be
+    silently dropped — the round-3 advice defect."""
+    p = str(tmp_path / "default6.mmdb")
+    write_mmdb(p, [("::/0", {"asn": 99})], build_epoch=1, ip_version=6)
+    r = MmdbReader.open(p)
+    # v4 descent meets the data record at the first step -> default route
+    assert list(r.networks()) == [("0.0.0.0/0", {"asn": 99})]
+    # full-v6 walk: the tree stores a /0 as both root children -> 2 halves
+    assert sorted(r.networks_v6()) == [("8000::/1", {"asn": 99}),
+                                       ("::/1", {"asn": 99})]
+
+
+def test_enrich_mmdb_v6_mixed_families(spark, tmp_path):
+    p = str(tmp_path / "mix6.mmdb")
+    write_mmdb(p, V6_NETS, build_epoch=1, ip_version=6)
+    ips = ["2001:db8::1", "2001:db8:1::5", "fd00::1", "10.1.2.3",
+           "10.200.0.1", "8.8.8.8", "abcd::1",
+           "2001:0db8:0001:0000:0000:0000:0000:0009"]  # uncompressed form
+    df = spark.createDataFrame([(ip,) for ip in ips], "ip string")
+    out = enrich_mmdb(df, p, "ip", fields=["country.iso_code", "asn"])
+    got = {r["ip"]: (r["country_iso_code"], r["asn"]) for r in out.collect()}
+    for ip in ips:
+        exp = _oracle(V6_NETS, ip)
+        exp_t = (exp["country"]["iso_code"], exp["asn"]) if exp else (None, None)
+        assert got[ip] == exp_t, ip
+
+
+def test_enrich_cidr6_plan_is_broadcast(spark, tmp_path):
+    p = str(tmp_path / "plan6.mmdb")
+    write_mmdb(p, V6_NETS, build_epoch=1, ip_version=6)
+    df = spark.createDataFrame([("2001:db8::1",)], "ip string")
+    out = enrich_mmdb(df, p, "ip", fields=["asn"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_demo6_fixture_deterministic_and_nested():
+    p1 = ensure_demo_mmdb_v6()
+    r = MmdbReader.open(p1)
+    assert r.ip_version == 6
+    nets = list(r.networks_v6())
+    assert _oracle_from(nets, "2001:db8:1::1") == "DC"
+    assert _oracle_from(nets, "2001:db8:2::1") == "DB"
+    assert _oracle_from(nets, "10.1.0.1") == "BB"
+
+
+def _oracle_from(nets, ip):
+    a = _norm6(ip)
+    for cidr, rec in nets:
+        if a in ipaddress.IPv6Network(cidr):
+            return rec["country"]["iso_code"]
+    return None

@@ -781,6 +781,37 @@ def q_enrich_mmdb(spark, sf_dir):
         F.col("asn").alias("geo_asn"))
 
 
+def q_enrich_mmdb_v6(spark, sf_dir):
+    """IPv6 mmdb enrichment (sources/mmdb.py networks_v6 +
+    operators/geoip.enrich_cidr6): an ip_version=6 demo tree with
+    longest-prefix nesting (2001:db8:1::/48 inside 2001:db8::/32) and
+    the v4 demo networks embedded at ::/96. Mixed v4/v6 client
+    addresses — incl. compressed forms — normalize JVM-side to hex128
+    and hit ONE broadcast hash join; a no-match lane keeps NULLs."""
+    from vector_spark.sources.mmdb import enrich_mmdb, ensure_demo_mmdb_v6
+
+    t = _transcripts(spark, sf_dir)
+    oct3 = (F.col("turn_idx") % 250).cast("string")
+    oct4 = (1 + F.col("turn_idx") % 254).cast("string")
+    hx = (2 + F.col("turn_idx") % 7).cast("string")   # 2..8: inside /32, outside /48
+    hy = (1 + F.col("turn_idx") % 9).cast("string")
+    m = F.col("turn_idx") % 6
+    ip = (F.when(m == 0, F.concat(F.lit("10.1."), oct3, F.lit("."), oct4))
+          .when(m == 1, F.concat(F.lit("8.8.8."), oct4))
+          .when(m == 2, F.concat(F.lit("2001:db8:1:"), hx, F.lit("::"), hy))
+          .when(m == 3, F.concat(F.lit("2001:db8:"), hx, F.lit("::"), hy))
+          .when(m == 4, F.concat(F.lit("fd00::"), hy))
+          .otherwise(F.lit("abcd::1")))
+    d = t.select("conv_id", "turn_idx", ip.alias("client_ip"))
+    out = enrich_mmdb(d, ensure_demo_mmdb_v6(), "client_ip",
+                      fields=["country.iso_code", "country.names.en", "asn"])
+    return out.select(
+        "conv_id", "turn_idx", "client_ip",
+        F.col("country_iso_code").alias("geo_iso"),
+        F.col("country_names_en").alias("geo_name"),
+        F.col("asn").alias("geo_asn"))
+
+
 def q_parse_native_json(spark, sf_dir):
     """Vector native JSON codec round-trip (functions/parse_presets.py;
     lib/codecs decoding/format/native_json.rs): encode alternating
@@ -1539,6 +1570,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vrl_net_crypto_funcs": q_vrl_net_crypto_funcs,
     "parse_influxdb": q_parse_influxdb,
     "enrich_mmdb_geoip": q_enrich_mmdb,
+    "enrich_mmdb_v6": q_enrich_mmdb_v6,
     "parse_native_json": q_parse_native_json,
     "parse_native_proto": q_parse_native_proto,
     "ddsearch_filter": q_ddsearch_filter,
@@ -2079,6 +2111,30 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
                   WHEN 2 THEN 'Private' END AS geo_name,
              CAST(CASE turn_idx % 4 WHEN 0 THEN 64513 WHEN 1 THEN 64512
                   WHEN 2 THEN 0 END AS BIGINT) AS geo_asn
+      FROM read_parquet('{tp}')"""
+
+    _mm6_ip = ("CASE turn_idx % 6"
+               " WHEN 0 THEN '10.1.' || (turn_idx % 250) || '.'"
+               " || (1 + turn_idx % 254)"
+               " WHEN 1 THEN '8.8.8.' || (1 + turn_idx % 254)"
+               " WHEN 2 THEN '2001:db8:1:' || (2 + turn_idx % 7)"
+               " || '::' || (1 + turn_idx % 9)"
+               " WHEN 3 THEN '2001:db8:' || (2 + turn_idx % 7)"
+               " || '::' || (1 + turn_idx % 9)"
+               " WHEN 4 THEN 'fd00::' || (1 + turn_idx % 9)"
+               " ELSE 'abcd::1' END")
+    o["enrich_mmdb_v6"] = f"""SELECT conv_id, turn_idx,
+             {_mm6_ip} AS client_ip,
+             CASE turn_idx % 6 WHEN 0 THEN 'BB' WHEN 1 THEN 'US'
+                  WHEN 2 THEN 'DC' WHEN 3 THEN 'DB'
+                  WHEN 4 THEN 'UL' END AS geo_iso,
+             CASE turn_idx % 6 WHEN 0 THEN 'Beta'
+                  WHEN 1 THEN 'United States' WHEN 2 THEN 'DocSub'
+                  WHEN 3 THEN 'DocNet' WHEN 4 THEN 'UniqueLocal'
+                  END AS geo_name,
+             CAST(CASE turn_idx % 6 WHEN 0 THEN 64513 WHEN 1 THEN 15169
+                  WHEN 2 THEN 64601 WHEN 3 THEN 64600
+                  WHEN 4 THEN 64700 END AS BIGINT) AS geo_asn
       FROM read_parquet('{tp}')"""
 
     o["memory_feedback_lookup"] = f"""SELECT t.conv_id, t.turn_idx, t.tool,

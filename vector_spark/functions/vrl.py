@@ -270,6 +270,60 @@ def ip_ntoa(c) -> Column:
     )
 
 
+def ip6_to_hex128(c) -> Column:
+    """Any textual IP (IPv6 full/compressed, optional embedded dotted-
+    quad tail, or plain IPv4) -> 32-char lowercase hex of its 128-bit
+    value, v4 mapped at ::/96 (the MaxMind tree embedding). Pure column
+    expressions — split/transform/conv/lpad — so the 100-TB fact side
+    stays JVM-side; malformed input yields NULL. Fixed-width hex makes
+    lexicographic comparison equal numeric comparison, which is what
+    lets the v6 range join stay a plain BroadcastHashJoin predicate."""
+    s = F.lower(F.trim(_c(c)))
+
+    # dotted-quad tail (pure v4 or ::ffff:a.b.c.d) -> 32-bit number
+    def oct_(i: int) -> Column:
+        # try_cast: no-match extracts '' and ANSI mode rejects ''::long
+        return F.regexp_extract(
+            s, r"(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$", i
+        ).try_cast("long")
+
+    octs = [oct_(i) for i in (1, 2, 3, 4)]
+    v4ok = (octs[0] <= 255) & (octs[1] <= 255) & (octs[2] <= 255) & \
+        (octs[3] <= 255)
+    v4num = F.when(v4ok, octs[0] * 16777216 + octs[1] * 65536
+                   + octs[2] * 256 + octs[3])
+    v4hex = F.lpad(F.lower(F.conv(v4num.cast("string"), 10, 16)), 8, "0")
+    has_dot = s.rlike(r"\.")
+    # v6 with embedded v4 tail: swap the tail for its two hex groups
+    s6 = F.when(
+        has_dot & s.contains(":"),
+        F.concat(F.regexp_replace(s, r"(\d{1,3}\.){3}\d{1,3}$", ""),
+                 F.substring(v4hex, 1, 4), F.lit(":"),
+                 F.substring(v4hex, 5, 4))
+    ).otherwise(s)
+
+    parts = F.split(s6, "::")
+    left = F.filter(F.split(F.get(parts, 0), ":"), lambda x: x != "")
+    right = F.when(F.size(parts) >= 2,
+                   F.filter(F.coalesce(F.split(F.get(parts, 1), ":"),
+                                       F.array()),
+                            lambda x: x != "")).otherwise(F.array())
+    n_mid = F.when(F.size(parts) >= 2,
+                   F.lit(8) - F.size(left) - F.size(right)).otherwise(F.lit(0))
+    groups = F.concat(
+        left,
+        F.array_repeat(F.lit("0"), F.greatest(n_mid, F.lit(0)).cast("int")),
+        right)
+    hex6 = F.concat_ws(
+        "", F.transform(groups, lambda g: F.lpad(g, 4, "0")))
+
+    out = (F.when(has_dot & ~s.contains(":"),
+                  F.concat(F.lit("0" * 24), v4hex))
+           .otherwise(hex6))
+    valid = (F.length(out) == 32) & out.rlike("^[0-9a-f]{32}$")
+    return F.when(valid, out)
+
+
 def _cidr_range(cidr: str) -> tuple[int, int]:
     """Driver-side CIDR -> inclusive (net_start, net_end) IPv4 range."""
     net, _, bits = cidr.partition("/")

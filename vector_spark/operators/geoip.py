@@ -26,22 +26,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vector_spark.functions.vrl import _cidr_range, ip_aton
+from vector_spark.functions.vrl import _cidr_range, ip6_to_hex128, ip_aton
 
 
-def _disjoint_intervals(rows, attr_cols: list[str]):
-    """Flatten (possibly overlapping) CIDR rows into disjoint inclusive
-    (start, end, attrs...) intervals, most-specific network winning.
+def _sweep(ranges):
+    """Flatten (start, end, prefix, order, attrs) ranges into disjoint
+    inclusive intervals, most-specific (longest prefix, ties -> first
+    row) winning.
 
     Event sweep, not per-boundary rescan: O(P log P + P*depth) where
-    depth is the CIDR nesting depth (<= 33), so a real GeoLite2-City
-    (~4M pre-disjoint networks) builds in seconds — the active set holds
-    one range at a time for disjoint input."""
-    ranges = []
-    for order, r in enumerate(rows):
-        start, end = _cidr_range(r["cidr"])
-        prefix = int(r["cidr"].partition("/")[2] or 32)
-        ranges.append((start, end, prefix, order, tuple(r[c] for c in attr_cols)))
+    depth is the CIDR nesting depth (<= 33 v4 / 129 v6), so a real
+    GeoLite2-City (~4M pre-disjoint networks) builds in seconds — the
+    active set holds one range at a time for disjoint input."""
     events = []  # (point, open0/close1, range idx); closes apply at end+1
     for i, (s, e, *_rest) in enumerate(ranges):
         events.append((s, 0, i))
@@ -67,6 +63,40 @@ def _disjoint_intervals(rows, attr_cols: list[str]):
     return out
 
 
+def _collect_table(table: DataFrame, select: list[str] | None):
+    """Arrow transfer of the (broadcast-sized) enrichment table so a
+    GeoLite2-scale table (~4M networks) doesn't serialize as millions of
+    pickled Rows; NaN restored to None so attr tuples stay exact."""
+    pdf_in = table.toPandas()
+    pdf_in = pdf_in.astype(object).where(pdf_in.notna(), None)
+    rows = pdf_in.to_dict("records")
+    attr_cols = [c for c in table.columns if c != "cidr"]
+    if select is not None:
+        attr_cols = [c for c in attr_cols if c in select]
+    return rows, attr_cols
+
+
+def _lut_df(spark, expanded, key_schema: str, key_cols: list[str],
+            table: DataFrame, attr_cols: list[str]) -> DataFrame:
+    dtypes = dict(table.dtypes)
+    schema = key_schema + "".join(f", {c} {dtypes[c]}" for c in attr_cols)
+    import pandas as pd
+    lut_pdf = pd.DataFrame(expanded, columns=key_cols + attr_cols,
+                           dtype=object)
+    return spark.createDataFrame(lut_pdf, schema)  # Arrow, not tuple list
+
+
+def _disjoint_intervals(rows, attr_cols: list[str]):
+    """IPv4 (cidr, attrs) rows -> disjoint intervals via the sweep."""
+    ranges = []
+    for order, r in enumerate(rows):
+        start, end = _cidr_range(r["cidr"])
+        prefix = int(r["cidr"].partition("/")[2] or 32)
+        ranges.append((start, end, prefix, order,
+                       tuple(r[c] for c in attr_cols)))
+    return _sweep(ranges)
+
+
 def enrich_cidr(
     df: DataFrame, table: DataFrame, ip_col: str,
     select: list[str] | None = None, how: str = "left",
@@ -75,30 +105,15 @@ def enrich_cidr(
     (columns: cidr + attributes). Longest-prefix match wins; rows whose
     IP no network covers keep NULL attrs (left join)."""
     spark: SparkSession = df.sparkSession
-    # enrichment table is broadcast-sized by contract; Arrow transfer so
-    # a real GeoLite2-scale table (~4M networks) doesn't serialize as
-    # millions of pickled Rows
-    pdf_in = table.toPandas()
-    # pandas maps NULL int/bool to NaN-in-float64; restore None so attr
-    # tuples and the LUT schema cast stay exact
-    pdf_in = pdf_in.astype(object).where(pdf_in.notna(), None)
-    rows = pdf_in.to_dict("records")
-    attr_cols = [c for c in table.columns if c != "cidr"]
-    if select is not None:
-        attr_cols = [c for c in attr_cols if c in select]
+    rows, attr_cols = _collect_table(table, select)
     expanded = []
     for iv in _disjoint_intervals(rows, attr_cols):
         start, end = iv[0], iv[1]
         for b in range(start >> 24, (end >> 24) + 1):
             expanded.append((b, start, end) + iv[2:])
-    dtypes = dict(table.dtypes)
-    schema = ("__bucket INT, __net_start LONG, __net_end LONG"
-              + "".join(f", {c} {dtypes[c]}" for c in attr_cols))
-    import pandas as pd
-    lut_pdf = pd.DataFrame(
-        expanded, columns=["__bucket", "__net_start", "__net_end"] + attr_cols,
-        dtype=object)
-    lut = spark.createDataFrame(lut_pdf, schema)  # Arrow path, not tuple list
+    lut = _lut_df(spark, expanded,
+                  "__bucket INT, __net_start LONG, __net_end LONG",
+                  ["__bucket", "__net_start", "__net_end"], table, attr_cols)
 
     fact = df.withColumn("__ip_num", ip_aton(F.col(ip_col)))
     fact = fact.withColumn("__bucket", (F.col("__ip_num") / 16777216).cast("int"))
@@ -107,6 +122,53 @@ def enrich_cidr(
         on=[fact["__bucket"] == lut["__bucket"],
             fact["__ip_num"] >= lut["__net_start"],
             fact["__ip_num"] <= lut["__net_end"]],
+        how=how,
+    )
+    return joined.select(*df.columns, *attr_cols)
+
+
+def enrich_cidr6(
+    df: DataFrame, table: DataFrame, ip_col: str,
+    select: list[str] | None = None, how: str = "left",
+) -> DataFrame:
+    """IPv6 (and mixed-family) CIDR lookup. Same plan shape as
+    enrich_cidr — disjoint-interval flatten + top-byte bucket
+    BroadcastHashJoin — but over the 128-bit space represented as
+    32-char hex strings: fixed-width hex compares lexicographically ==
+    numerically, so the range predicate needs no 128-bit arithmetic.
+    Fact IPs normalize JVM-side via ip6_to_hex128 (v4 addresses map at
+    ::/96, matching the MaxMind tree embedding), so one call serves v4
+    and v6 clients against a v6 table."""
+    import ipaddress
+
+    spark: SparkSession = df.sparkSession
+    rows, attr_cols = _collect_table(table, select)
+    ranges = []
+    for order, r in enumerate(rows):
+        net = ipaddress.IPv6Network(r["cidr"], strict=False)
+        start = int(net.network_address)
+        end = int(net.broadcast_address)
+        ranges.append((start, end, net.prefixlen, order,
+                       tuple(r[c] for c in attr_cols)))
+    expanded = []
+    for iv in _sweep(ranges):
+        start, end = iv[0], iv[1]
+        s_hex, e_hex = f"{start:032x}", f"{end:032x}"
+        for b in range(start >> 120, (end >> 120) + 1):
+            expanded.append((b, s_hex, e_hex) + iv[2:])
+    lut = _lut_df(spark, expanded,
+                  "__bucket INT, __net_start STRING, __net_end STRING",
+                  ["__bucket", "__net_start", "__net_end"], table, attr_cols)
+
+    fact = df.withColumn("__ip_hex", ip6_to_hex128(F.col(ip_col)))
+    fact = fact.withColumn(
+        "__bucket",
+        F.conv(F.substring("__ip_hex", 1, 2), 16, 10).try_cast("int"))
+    joined = fact.join(
+        F.broadcast(lut),
+        on=[fact["__bucket"] == lut["__bucket"],
+            fact["__ip_hex"] >= lut["__net_start"],
+            fact["__ip_hex"] <= lut["__net_end"]],
         how=how,
     )
     return joined.select(*df.columns, *attr_cols)

@@ -179,6 +179,39 @@ class MmdbReader:
                     yield cidr, self._decode_at(rec)
                 # rec == node_count: empty, skip
 
+    def networks_v6(self):
+        """Full 128-bit enumeration of an ip_version=6 tree -> (cidr6,
+        record) per data leaf, compressed-form IPv6 CIDR strings. The
+        embedded-v4 space (under ::/96) comes out as v6 prefixes (e.g.
+        ::a00:0/104 for 10.0.0.0/8), which is exactly what the hex128
+        lookup path consumes — a v4 client address normalizes into that
+        range. Reference handles both families the same way
+        (src/enrichment_tables/geoip.rs:531 via the maxminddb crate)."""
+        import ipaddress
+
+        if self.ip_version != 6:
+            # v4 tree: present the 32-bit space as v4-mapped-at-zero v6,
+            # mirroring how a v6 lookup of a v4 address descends 96 zeros
+            for cidr, rec in self.networks():
+                net = ipaddress.IPv4Network(cidr)
+                base6 = int(net.network_address)
+                yield (str(ipaddress.IPv6Network(
+                    (base6, 96 + net.prefixlen))), rec)
+            return
+        stack = [(0, 0, 0)]  # node, prefix bits value, depth
+        while stack:
+            node, prefix, depth = stack.pop()
+            for side in (0, 1):
+                rec = self._record(node, side)
+                p = (prefix << 1) | side
+                if rec < self.node_count:
+                    stack.append((rec, p, depth + 1))
+                elif rec > self.node_count:
+                    plen = depth + 1
+                    base = p << (128 - plen)
+                    yield (str(ipaddress.IPv6Network((base, plen))),
+                           self._decode_at(rec))
+
 
 def flatten_record(rec: dict, prefix: str = "") -> dict:
     """GeoIP2 records are nested maps ({country: {iso_code: ...}});
@@ -200,14 +233,16 @@ def flatten_record(rec: dict, prefix: str = "") -> dict:
     return out
 
 
-def mmdb_to_cidr_table(spark, path: str, fields: list[str] | None = None):
+def mmdb_to_cidr_table(spark, path: str, fields: list[str] | None = None,
+                       v6: bool = False):
     """Decode a .mmdb into the (cidr, attrs...) DataFrame that
-    operators/geoip.enrich_cidr consumes. ``fields`` selects dotted
-    attr names (e.g. ['country.iso_code', 'location.latitude']);
-    default = union of all flattened keys. Dots become underscores in
-    column names."""
+    operators/geoip.enrich_cidr (or enrich_cidr6 when ``v6``) consumes.
+    ``fields`` selects dotted attr names (e.g. ['country.iso_code',
+    'location.latitude']); default = union of all flattened keys. Dots
+    become underscores in column names."""
     reader = MmdbReader.open(path)
-    rows = [(cidr, flatten_record(rec)) for cidr, rec in reader.networks()]
+    nets = reader.networks_v6() if v6 else reader.networks()
+    rows = [(cidr, flatten_record(rec)) for cidr, rec in nets]
     if fields is None:
         seen = {}
         for _, flat in rows:
@@ -245,8 +280,15 @@ def mmdb_to_cidr_table(spark, path: str, fields: list[str] | None = None):
 def enrich_mmdb(df, path: str, ip_col: str,
                 fields: list[str] | None = None, how: str = "left"):
     """geoip/mmdb enrichment end-to-end: decode once driver-side, then
-    the /8-bucket broadcast range join (operators/geoip.py)."""
-    from vector_spark.operators.geoip import enrich_cidr
+    the bucketed broadcast range join (operators/geoip.py). An
+    ip_version=6 database routes through the hex128 path, which serves
+    BOTH v4 and v6 client addresses (v4 maps at ::/96, the MaxMind tree
+    embedding — reference parity src/enrichment_tables/geoip.rs:531)."""
+    from vector_spark.operators.geoip import enrich_cidr, enrich_cidr6
+    reader = MmdbReader.open(path)
+    if reader.ip_version == 6:
+        table = mmdb_to_cidr_table(df.sparkSession, path, fields, v6=True)
+        return enrich_cidr6(df, table, ip_col, how=how)
     table = mmdb_to_cidr_table(df.sparkSession, path, fields)
     return enrich_cidr(df, table, ip_col, how=how)
 
@@ -292,30 +334,52 @@ def encode_value(v) -> bytes:
     raise TypeError(f"mmdb writer: unsupported {type(v)}")
 
 
+def _parse_net(cidr: str, ip_version: int) -> tuple[int, int]:
+    """CIDR -> (base_int, prefix_len) in the tree's bit space. In a v6
+    tree a v4 CIDR embeds at ::/96 (96 zero bits first), matching how
+    MaxMind trees store the v4 space."""
+    import ipaddress
+
+    if "." in cidr:
+        net4 = ipaddress.IPv4Network(cidr, strict=False)
+        base, plen = int(net4.network_address), net4.prefixlen
+        if ip_version == 6:
+            return base, 96 + plen
+        return base, plen
+    if ip_version != 6:
+        raise ValueError(f"v6 network {cidr!r} needs ip_version=6")
+    net6 = ipaddress.IPv6Network(cidr, strict=False)
+    return int(net6.network_address), net6.prefixlen
+
+
 def write_mmdb(path: str, networks: list[tuple[str, dict]],
                record_size: int = 32, database_type: str = "vector-spark-Test",
-               build_epoch: int | None = None) -> str:
-    """Write an IPv4 .mmdb (spec-conformant tree + data + metadata).
-    Deterministic for fixed inputs when ``build_epoch`` is pinned."""
-    from vector_spark.functions.vrl import _cidr_range
+               build_epoch: int | None = None, ip_version: int = 4) -> str:
+    """Write a spec-conformant .mmdb (tree + data + metadata) for test
+    fixtures. ``ip_version=6`` builds a 128-bit tree; v4 CIDRs in the
+    input embed at ::/96. Deterministic when ``build_epoch`` is pinned."""
+    total_bits = 128 if ip_version == 6 else 32
 
     # less-specific first so more-specific inserts split covering
     # leaves (MaxMind trees materialize nesting by leaf replication)
-    networks = sorted(networks, key=lambda nw: int(
-        nw[0].partition("/")[2] or 32))
+    parsed = [(cidr, _parse_net(cidr, ip_version), rec)
+              for cidr, rec in networks]
+    parsed.sort(key=lambda t: t[1][1])
+    networks = [(c, r) for c, _n, r in parsed]
     data_sec = b""
     offsets = []
-    for _, rec in networks:
+    for _, _n, rec in parsed:
         offsets.append(len(data_sec))
         data_sec += encode_value(rec)
 
     nodes: list[list] = [[None, None]]  # None = empty
-    for i, (cidr, _) in enumerate(networks):
-        plen = int(cidr.partition("/")[2] or 32)
-        base, _ = _cidr_range(cidr)
+    for i, (_cidr, (base, plen), _rec) in enumerate(parsed):
+        if plen == 0:  # default route: both root children carry the record
+            nodes[0][0] = nodes[0][1] = ("data", offsets[i])
+            continue
         cur = 0
         for d in range(plen):
-            bit = (base >> (31 - d)) & 1
+            bit = (base >> (total_bits - 1 - d)) & 1
             if d == plen - 1:
                 nodes[cur][bit] = ("data", offsets[i])
             else:
@@ -353,7 +417,7 @@ def write_mmdb(path: str, networks: list[tuple[str, dict]],
         "binary_format_minor_version": 0,
         "node_count": node_count,
         "record_size": record_size,
-        "ip_version": 4,
+        "ip_version": ip_version,
         "database_type": database_type,
         "languages": ["en"],
         "description": {"en": "vector_spark test fixture"},
@@ -397,5 +461,31 @@ def ensure_demo_mmdb() -> str:
         tmp = path + f".tmp-{_os.getpid()}"
         write_mmdb(tmp, DEMO_NETWORKS, record_size=28,
                    build_epoch=1600000000)
+        _os.replace(tmp, path)
+    return path
+
+
+#: ip_version=6 demo tree: v6 networks with longest-prefix nesting
+#: (2001:db8:1::/48 inside 2001:db8::/32) PLUS the v4 demo networks
+#: embedded at ::/96 — one table serving both client families.
+DEMO_NETWORKS_V6 = DEMO_NETWORKS + [
+    ("2001:db8::/32", {"country": {"iso_code": "DB",
+                                   "names": {"en": "DocNet"}}, "asn": 64600}),
+    ("2001:db8:1::/48", {"country": {"iso_code": "DC",
+                                     "names": {"en": "DocSub"}},
+                         "asn": 64601}),
+    ("fd00::/8", {"country": {"iso_code": "UL",
+                              "names": {"en": "UniqueLocal"}}, "asn": 64700}),
+]
+
+
+def ensure_demo_mmdb_v6() -> str:
+    """Write (once) the deterministic ip_version=6 demo .mmdb."""
+    _os.makedirs(DEMO_DIR, exist_ok=True)
+    path = _os.path.join(DEMO_DIR, "demo6.mmdb")
+    if not _os.path.exists(path):
+        tmp = path + f".tmp-{_os.getpid()}"
+        write_mmdb(tmp, DEMO_NETWORKS_V6, record_size=28,
+                   build_epoch=1600000000, ip_version=6)
         _os.replace(tmp, path)
     return path
