@@ -289,7 +289,32 @@ def test_parse_cloudwatch_cue_example(spark):
 def test_gated_codecs_raise_actionable():
     import pytest as _pytest
     from vector_spark.functions.codecs import (
-        encode_lz4_gated, encode_snappy_gated, encode_zstd_gated)
-    for fn in (encode_zstd_gated, encode_snappy_gated, encode_lz4_gated):
+        encode_snappy_gated, encode_zstd_gated)
+    for fn in (encode_zstd_gated, encode_snappy_gated):
         with _pytest.raises(ImportError, match="install on the cluster"):
             fn()
+
+
+def test_lz4_cue_examples_byte_exact():
+    """Both decode_lz4.cue examples, byte-for-byte, plus roundtrips with
+    real matches/overlaps (lz4 is un-gated: pure-Python block codec)."""
+    import base64
+
+    from vector_spark.functions.codecs import decode_lz4_py, encode_lz4_py
+
+    text = b"The quick brown fox jumps over 13 lazy dogs."
+    prep = base64.b64decode(
+        "LAAAAPAdVGhlIHF1aWNrIGJyb3duIGZveCBqdW1wcyBvdmVyIDEzIGxhenkgZG9ncy4=")
+    bare = base64.b64decode(
+        "8B1UaGUgcXVpY2sgYnJvd24gZm94IGp1bXBzIG92ZXIgMTMgbGF6eSBkb2dzLg==")
+    assert encode_lz4_py(text, prepend_size=True) == prep
+    assert encode_lz4_py(text) == bare
+    assert decode_lz4_py(prep, prepended_size=True) == text
+    assert decode_lz4_py(bare) == text
+    for case in (b"", b"a", b"abcd" * 100, b"x" * 300,
+                 b"The quick " * 50 + bytes(range(256)) * 3):
+        assert decode_lz4_py(encode_lz4_py(case, prepend_size=True),
+                             prepended_size=True) == case
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="buf_size"):
+        decode_lz4_py(encode_lz4_py(b"y" * 4096), buf_size=16)

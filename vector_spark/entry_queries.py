@@ -375,6 +375,41 @@ def q_avro_roundtrip(spark, sf_dir):
                       F.col("rec.text").alias("text"))
 
 
+def q_decode_vrl(spark, sf_dir):
+    """`vrl` decode format (functions/remap_lang.decode_vrl; reference
+    lib/codecs/src/decoding/format/vrl.rs): decode each raw frame by
+    running a VRL program over {message: <frame>} — derive normalized
+    text, char length, a word probe, and base64, then del(.message) so
+    the program's final '.' IS the decoded event."""
+    from vector_spark.functions.remap_lang import decode_vrl
+
+    t = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    out = decode_vrl(t, """
+      .norm = downcase(.message)
+      .n_chars = strlen(.message)
+      .has_err = contains(.message, "error")
+      .b64 = encode_base64(.message)
+      del(.message)
+    """)
+    return out.select("conv_id", "turn_idx", "norm", "n_chars",
+                      "has_err", "b64")
+
+
+def q_lz4_roundtrip(spark, sf_dir):
+    """encode_lz4 -> decode_lz4 round trip through the pure-Python LZ4
+    block codec (functions/codecs.py; encode_lz4.cue / decode_lz4.cue,
+    both cue examples byte-verified). prepend_size framing on; oracle =
+    identity projection so any block-format asymmetry fails the hash."""
+    from vector_spark.functions.codecs import decode_lz4, encode_lz4
+
+    t = _transcripts(spark, sf_dir)
+    enc = t.select("conv_id", "turn_idx",
+                   encode_lz4(F.col("text"), prepend_size=True).alias("z"))
+    return enc.select("conv_id", "turn_idx",
+                      decode_lz4(F.col("z"),
+                                 prepended_size=True).alias("text"))
+
+
 def q_parse_key_value(spark, sf_dir):
     """encode_logfmt -> parse_key_value round trip, quote-aware: ``text``
     values contain spaces / quotes / '=' so they encode double-quoted with
@@ -1558,6 +1593,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode": q_media_decode,
     "tag_cardinality_bloom": q_cardinality_bloom,
     "avro_roundtrip": q_avro_roundtrip,
+    "lz4_roundtrip": q_lz4_roundtrip,
+    "decode_vrl": q_decode_vrl,
     "parse_csv_roundtrip": q_parse_csv_roundtrip,
     "parse_aws_alb": q_parse_aws_alb,
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,
@@ -1917,6 +1954,14 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
       FROM read_parquet('{tp}')"""
     o["avro_roundtrip"] = f"""SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
              role, tool, text
+      FROM read_parquet('{tp}')"""
+    o["lz4_roundtrip"] = f"""SELECT conv_id, turn_idx, text
+      FROM read_parquet('{tp}')"""
+    o["decode_vrl"] = f"""SELECT conv_id, turn_idx,
+             lower(text) AS norm,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             contains(text, 'error') AS has_err,
+             to_base64(encode(text)) AS b64
       FROM read_parquet('{tp}')"""
     # AWS parse family: the Spark side synthesizes the log line from the
     # same table columns, so the oracle derives every parsed field

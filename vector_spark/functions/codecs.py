@@ -76,13 +76,146 @@ def encode_zstd_gated(*_a, **_k):
 
 
 def encode_snappy_gated(*_a, **_k):
-    """encode_snappy.cue — gated: no snappy binding in the sandbox."""
+    """encode_snappy.cue — gated: no snappy binding in the sandbox.
+    (lz4 is NOT gated anymore: see the pure-Python block codec below.)"""
     _gated("snappy", ("snappy", "cramjam"))
 
 
-def encode_lz4_gated(*_a, **_k):
-    """encode_lz4.cue — gated: no lz4 binding in the sandbox."""
-    _gated("lz4", ("lz4", "cramjam"))
+# -- lz4 block format (encode_lz4.cue / decode_lz4.cue) -------------------
+# Pure-Python implementation of the public LZ4 block spec (token byte =
+# literal-length nibble + match-length nibble, 255-extension bytes,
+# 2-byte little-endian offsets, overlapping match copy). Un-gates lz4 in
+# this sandbox; both cue examples verified byte-for-byte in tests.
+
+LZ4_MAX_OFFSET = 65535
+
+
+def lz4_decompress_block(b: bytes, max_size: int = 1 << 20) -> bytes:
+    out = bytearray()
+    i, n = 0, len(b)
+    while i < n:
+        token = b[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                x = b[i]
+                i += 1
+                lit += x
+                if x != 255:
+                    break
+        out += b[i:i + lit]
+        i += lit
+        if len(out) > max_size:
+            raise ValueError("lz4: output exceeds buf_size")
+        if i >= n:
+            break  # last sequence carries literals only
+        offset = b[i] | (b[i + 1] << 8)
+        i += 2
+        start = len(out) - offset
+        if offset == 0 or start < 0:
+            raise ValueError("lz4: invalid match offset")
+        mlen = token & 0xF
+        if mlen == 15:
+            while True:
+                x = b[i]
+                i += 1
+                mlen += x
+                if x != 255:
+                    break
+        mlen += 4
+        if len(out) + mlen > max_size:
+            raise ValueError("lz4: output exceeds buf_size")
+        for _ in range(mlen):  # byte-wise: matches may overlap themselves
+            out.append(out[start])
+            start += 1
+    return bytes(out)
+
+
+def lz4_compress_block(data: bytes) -> bytes:
+    n = len(data)
+    out = bytearray()
+
+    def emit(anchor: int, upto: int, mlen: int | None, offset: int) -> None:
+        litlen = upto - anchor
+        tok_l = 15 if litlen >= 15 else litlen
+        tok_m = 0 if mlen is None else min(mlen - 4, 15)
+        out.append((tok_l << 4) | tok_m)
+        if litlen >= 15:
+            rem = litlen - 15
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        out.extend(data[anchor:upto])
+        if mlen is not None:
+            out.extend(offset.to_bytes(2, "little"))
+            if mlen - 4 >= 15:
+                rem = mlen - 4 - 15
+                while rem >= 255:
+                    out.append(255)
+                    rem -= 255
+                out.append(rem)
+
+    if n == 0:
+        return b"\x00"
+    table: dict[bytes, int] = {}
+    anchor = i = 0
+    mflimit = n - 12  # spec: last match starts >= 12 bytes before end
+    while i < mflimit:
+        key = bytes(data[i:i + 4])
+        cand = table.get(key)
+        table[key] = i
+        if cand is None or i - cand > LZ4_MAX_OFFSET:
+            i += 1
+            continue
+        mlen = 4
+        end_cap = n - 5  # spec: last 5 bytes are always literals
+        while i + mlen < end_cap and data[cand + mlen] == data[i + mlen]:
+            mlen += 1
+        emit(anchor, i, mlen, i - cand)
+        i += mlen
+        anchor = i
+    emit(anchor, n, None, 0)
+    return bytes(out)
+
+
+def encode_lz4_py(data: bytes, prepend_size: bool = False) -> bytes:
+    block = lz4_compress_block(data)
+    if prepend_size:
+        return (len(data) & 0xFFFFFFFF).to_bytes(4, "little") + block
+    return block
+
+
+def decode_lz4_py(data: bytes, buf_size: int = 1 << 20,
+                  prepended_size: bool = False) -> bytes:
+    if prepended_size:
+        if len(data) < 4:
+            raise ValueError("lz4: missing prepended size")
+        size = int.from_bytes(data[:4], "little")
+        out = lz4_decompress_block(data[4:], max_size=max(size, buf_size))
+        if len(out) != size:
+            raise ValueError("lz4: prepended size mismatch")
+        return out
+    return lz4_decompress_block(data, max_size=buf_size)
+
+
+def encode_lz4(s, prepend_size: bool = False):
+    """Column function: encode_lz4(col, prepend_size=...) (encode_lz4.cue)."""
+    @pandas_udf(BinaryType())
+    def _enc(v: pd.Series) -> pd.Series:
+        return v.map(lambda x: None if x is None else encode_lz4_py(
+            x.encode() if isinstance(x, str) else bytes(x), prepend_size))
+    return _enc(s)
+
+
+def decode_lz4(s, buf_size: int = 1 << 20, prepended_size: bool = False):
+    """Column function: decode_lz4(col, ...) (decode_lz4.cue)."""
+    @pandas_udf(StringType())
+    def _dec(v: pd.Series) -> pd.Series:
+        return v.map(lambda x: None if x is None else decode_lz4_py(
+            bytes(x), buf_size, prepended_size).decode())
+    return _dec(s)
 
 
 # -- seahash (seahash.cue) -----------------------------------------------

@@ -448,3 +448,19 @@ def compile_remap(src: str) -> RemapProgram:
 def remap(df: DataFrame, src: str) -> DataFrame:
     """One-shot: compile + apply a VRL remap program."""
     return compile_remap(src).apply(df)
+
+
+def decode_vrl(df: DataFrame, src: str, frame_col: str = "text",
+               keep: list[str] | None = None) -> DataFrame:
+    """``vrl`` decode format (lib/codecs/src/decoding/format/vrl.rs):
+    each byte frame becomes a log event whose ``message`` field holds
+    the raw frame (the BytesDeserializer shape), the program runs, and
+    the final ``.`` is the decoded event. A program ``abort`` is a
+    decode error in the reference; here aborted rows carry the standard
+    ``__aborted`` columns so callers can drop or reroute them
+    (operators/remap.remap_split_dropped). ``keep`` = pass-through key
+    columns (defaults to everything except the frame)."""
+    if keep is None:
+        keep = [c for c in df.columns if c != frame_col]
+    staged = df.select(*keep, F.col(frame_col).alias("message"))
+    return remap(staged, src)

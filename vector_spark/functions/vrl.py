@@ -191,7 +191,9 @@ def unique(arr) -> Column:
 # -- Codec (encode_base64.cue, decode_base64.cue, encode_json.cue, ...)
 
 def encode_base64(c) -> Column:
-    return F.base64(_c(c).cast("binary"))
+    # Spark's base64 emits MIME-chunked output (CRLF every 76 chars);
+    # VRL's encode_base64.cue is unchunked standard base64 — strip them
+    return F.regexp_replace(F.base64(_c(c).cast("binary")), "[\r\n]", "")
 
 
 def decode_base64(c) -> Column:

@@ -1011,7 +1011,14 @@ def decode_snappy_gated(*_a, **_k):
     encode_snappy_gated()
 
 
-def decode_lz4_gated(*_a, **_k):
-    """decode_lz4.cue — same gate as the encoder (codecs.py)."""
-    from vector_spark.functions.codecs import encode_lz4_gated
-    encode_lz4_gated()
+def decode_lz4(c, buf_size: int = 1 << 20, prepended_size: bool = False):
+    """decode_lz4.cue — UN-GATED: pure-Python block decoder
+    (functions/codecs.py, cue examples byte-verified)."""
+    from vector_spark.functions.codecs import decode_lz4 as _d
+    return _d(c, buf_size=buf_size, prepended_size=prepended_size)
+
+
+def encode_lz4(c, prepend_size: bool = False):
+    """encode_lz4.cue — UN-GATED: pure-Python block encoder."""
+    from vector_spark.functions.codecs import encode_lz4 as _e
+    return _e(c, prepend_size=prepend_size)

@@ -68,3 +68,38 @@ def encode_syslog5424(
         nil(ts), F.lit(" "), nil(hostname), F.lit(" "), nil(appname),
         F.lit(" "), nil(procid), F.lit(" "), nil(msgid), F.lit(" - "),
         F.coalesce(F.col(message).cast("string"), F.lit("")))
+
+
+# -- Arrow IPC stream codec (encoding/format/arrow.rs) ---------------------
+
+def encode_arrow_ipc(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Arrow IPC STREAM codec (encoding/format/arrow.rs): batched — the
+    reference encodes a whole batch of events into one continuous IPC
+    stream (schema message + record batches, no file footer), so the
+    Spark twin is ``mapInArrow``: each incoming Arrow batch becomes one
+    (payload binary, n_rows) row, zero per-row Python and zero
+    row-to-columnar conversion (the data is ALREADY Arrow on the wire).
+    Timestamps cast to us like the reference's CastOptions default."""
+    import pyarrow as pa
+
+    sel = df.select(*(cols or df.columns))
+
+    def to_ipc(batches):
+        for batch in batches:
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, batch.schema) as w:
+                w.write_batch(batch)
+            yield pa.RecordBatch.from_pydict(
+                {"payload": [sink.getvalue().to_pybytes()],
+                 "n_rows": [batch.num_rows]})
+
+    return sel.mapInArrow(to_ipc, "payload binary, n_rows long")
+
+
+def decode_arrow_ipc_py(payload: bytes):
+    """Driver/test-side inverse: one IPC stream payload -> pyarrow.Table
+    (the reader half of the roundtrip contract)."""
+    import pyarrow as pa
+
+    with pa.ipc.open_stream(pa.BufferReader(payload)) as r:
+        return r.read_all()

@@ -73,11 +73,20 @@ def file_sink(
     text_col: str = "text",
 ) -> None:
     """Write ``df`` to ``out_dir``; ``template`` becomes a ``sink_key``
-    partition column. ``fmt`` in {parquet, json, csv, text, logfmt}; the
-    encoded formats render through sinks/encode.py into ``.text`` files
-    (one encoded event per line, like the reference's framed file sink).
+    partition column. ``fmt`` in {parquet, json, csv, text, logfmt,
+    arrow}; the line formats render through sinks/encode.py into
+    ``.text`` files (one encoded event per line, like the reference's
+    framed file sink); ``arrow`` writes one IPC-stream payload per Arrow
+    batch (encoding/format/arrow.rs) as a binary column in parquet.
     """
     from vector_spark.sinks.encode import encode_csv, encode_json, encode_logfmt, encode_text
+
+    if fmt == "arrow":
+        from vector_spark.sinks.encode import encode_arrow_ipc
+
+        base = df.drop("sink_key") if template is not None else df
+        encode_arrow_ipc(base, encode_cols).write.mode("overwrite").parquet(out_dir)
+        return
 
     writer_df = df
     part_cols: list[str] = []
