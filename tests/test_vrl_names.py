@@ -1,0 +1,81 @@
+"""Literal VRL name parity (functions/vrl_names.py): every one of the
+reference's 203 cue names resolves to a callable, and the adapters added
+for the registry behave per their cue."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.functions import vrl_names as vn
+
+CUE_DIR = "/root/reference/website/cue/reference/remap/functions"
+CUE_NAMES = sorted(f[:-4] for f in os.listdir(CUE_DIR) if f.endswith(".cue"))
+
+
+def test_reference_ships_203_names():
+    assert len(CUE_NAMES) == 203
+
+
+@pytest.mark.parametrize("name", CUE_NAMES)
+def test_every_cue_name_resolves_to_a_callable(name):
+    fn = vn.resolve(name)
+    assert callable(fn), name
+
+
+def test_unknown_name_raises():
+    with pytest.raises(KeyError, match="not a VRL stdlib name"):
+        vn.resolve("definitely_not_a_vrl_function")
+
+
+def test_keyword_adapters(spark):
+    df = spark.createDataFrame(
+        [("x", None, "héllo", ["a", "b"], {"k": 1})],
+        "a string, b string, s string, arr array<string>, m map<string,int>")
+    row = df.select(
+        vn.resolve("is_null")(F.col("b")).alias("bn"),
+        vn.resolve("is_null")(F.col("a")).alias("an"),
+        vn.resolve("length")(F.col("s")).alias("bytes"),
+        vn.resolve("zip")(F.col("arr"), F.col("arr")).alias("z"),
+        vn.resolve("map_keys")(F.col("m"), lambda k: F.upper(k)).alias("mk"),
+        vn.resolve("for_each")(F.col("arr"), lambda x: F.upper(x)).alias("fe"),
+        vn.resolve("set")(F.col("m"), "k2", F.lit(5)).alias("st"),
+        vn.resolve("uuid_v4")(F.col("a")).alias("u4"),
+        vn.resolve("int")(F.lit("42")).alias("coerced"),
+    ).first()
+    assert row["bn"] is True and row["an"] is False
+    assert row["bytes"] == 6  # "héllo" is 6 bytes utf-8, 5 chars
+    assert row["z"][0]["arr"] == "a"
+    assert row["mk"] == {"K": 1}
+    assert row["fe"] == ["A", "B"]
+    assert row["st"] == {"k": 1, "k2": 5}
+    assert row["coerced"] == 42
+    # RFC-4122 v4 shape, deterministic per salt
+    import re
+    assert re.fullmatch(
+        r"[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}",
+        row["u4"])
+
+
+def test_uuid_v4_deterministic_and_distinct(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], "s string")
+    vals = [r["u"] for r in df.select(vn.uuid_v4(F.col("s")).alias("u")).collect()]
+    assert vals[0] == vals[2] and vals[0] != vals[1]
+
+
+def test_get_env_var_driver_side():
+    os.environ["VRL_NAMES_TEST_VAR"] = "v1"
+    try:
+        col = vn.resolve("get_env_var")("VRL_NAMES_TEST_VAR")
+        assert "v1" in repr(col) or col is not None
+    finally:
+        del os.environ["VRL_NAMES_TEST_VAR"]
+    with pytest.raises(KeyError):
+        vn.resolve("get_env_var")("VRL_NAMES_TEST_VAR")
+
+
+def test_gated_names_raise_actionable():
+    for name in ("encode_zstd", "decode_zstd", "encode_snappy",
+                 "decode_snappy"):
+        with pytest.raises(ImportError):
+            vn.resolve(name)()

@@ -1,11 +1,15 @@
 """VRL stdlib surface -> native Spark column functions.
 
 The reference ships 203 VRL functions (website/cue/reference/remap/
-functions/, SURVEY.md §2.8). This module exposes the load-bearing subset
-under their VRL names so a remap program written against the reference
-translates term-for-term. Every function returns a pyspark Column built
-from JVM-side builtins — no Python in the hot path. Parse-family
-functions live in functions/parse.py.
+functions/, SURVEY.md §2.8). This module exposes the load-bearing subset;
+most functions carry their literal VRL names, and the ones that collide
+with Python keywords/builtins (del, filter, abs, ...) or were first
+shipped under renamed forms resolve through the COMPLETE literal-name
+registry in functions/vrl_names.py (``resolve("del")`` etc.), so a remap
+program written against the reference translates term-for-term via the
+registry. Every function returns a pyspark Column built from JVM-side
+builtins — no Python in the hot path. Parse-family functions live in
+functions/parse.py.
 
 Batch 3 lives in functions/vrl_more.py (path/predicate/net/crypto/
 influxdb + name-parity wrappers) — together the two modules cover all
