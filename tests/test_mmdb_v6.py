@@ -133,3 +133,27 @@ def _oracle_from(nets, ip):
         if a in ipaddress.IPv6Network(cidr):
             return rec["country"]["iso_code"]
     return None
+
+
+def test_ip6_to_hex128_random_sweep(spark):
+    """One batched pass: 300 seeded-random addresses in compressed,
+    exploded, and v4-dotted forms vs the ipaddress oracle."""
+    import random
+
+    from vector_spark.functions.vrl import ip6_to_hex128
+
+    rng = random.Random(42)
+    cases = []
+    for _ in range(100):
+        n = rng.getrandbits(128)
+        a = ipaddress.IPv6Address(n)
+        cases.append(str(a))                 # compressed
+        cases.append(a.exploded)             # full form
+    for _ in range(100):
+        cases.append(str(ipaddress.IPv4Address(rng.getrandbits(32))))
+    df = spark.createDataFrame([(c,) for c in cases], "ip string")
+    got = {r["ip"]: r["h"] for r in
+           df.select("ip", ip6_to_hex128(F.col("ip")).alias("h")).collect()}
+    for c in cases:
+        exp = f"{int(_norm6(c)):032x}"
+        assert got[c] == exp, c

@@ -169,3 +169,85 @@ def test_influx_numeric_field_shapes(n, f):
     assert int_re.match(f"{abs(n)}u"), n     # unsigned suffix
     assert not int_re.match(repr(float(f)))  # bare floats take the
     assert not int_re.match('"quoted"')      # try_cast path; strings drop
+
+
+# ---------------------------------------------------------------------------
+# LZ4 block codec: arbitrary bytes roundtrip (driver-side, pure Python)
+# ---------------------------------------------------------------------------
+
+
+@given(data=st.binary(max_size=4096))
+@settings(max_examples=200, deadline=None)
+def test_lz4_roundtrip_property(data):
+    from vector_spark.functions.codecs import decode_lz4_py, encode_lz4_py
+
+    enc = encode_lz4_py(data, prepend_size=True)
+    assert decode_lz4_py(enc, buf_size=len(data) + 1, prepended_size=True) \
+        == data
+    # compressible inputs shrink; the header overhead stays bounded
+    assert len(encode_lz4_py(data)) <= len(data) + len(data) // 255 + 16
+
+
+@given(data=st.binary(min_size=64, max_size=512))
+@settings(max_examples=50, deadline=None)
+def test_lz4_compresses_repetition(data):
+    from vector_spark.functions.codecs import encode_lz4_py
+
+    repeated = data * 8
+    assert len(encode_lz4_py(repeated)) < len(repeated) // 2
+
+
+# ---------------------------------------------------------------------------
+# Avro binary codec: schema-driven roundtrip over arbitrary records
+# ---------------------------------------------------------------------------
+
+
+@given(s=st.text(max_size=40), n=st.integers(-(2**63), 2**63 - 1),
+       d=st.floats(allow_nan=False),
+       b=st.booleans(), opt=st.none() | st.text(max_size=10),
+       arr=st.lists(st.integers(-(2**31), 2**31 - 1), max_size=8),
+       m=st.dictionaries(st.text(min_size=1, max_size=8),
+                         st.text(max_size=8), max_size=4))
+@settings(max_examples=150, deadline=None)
+def test_avro_roundtrip_property(s, n, d, b, opt, arr, m):
+    import json as _json
+
+    from vector_spark.functions.avro_codec import (decode_record,
+                                                   encode_record,
+                                                   parse_schema)
+
+    sch = parse_schema(_json.dumps({
+        "type": "record", "name": "R", "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "n", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "opt", "type": ["null", "string"]},
+            {"name": "arr", "type": {"type": "array", "items": "int"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+        ]}))
+    rec = {"s": s, "n": n, "d": d, "b": b, "opt": opt, "arr": arr, "m": m}
+    assert decode_record(sch, encode_record(sch, rec)) == rec
+
+
+# ---------------------------------------------------------------------------
+# native proto Value tree: arbitrary nested values roundtrip
+# ---------------------------------------------------------------------------
+
+
+_value = st.recursive(
+    st.none() | st.booleans() | st.integers(-(2**63), 2**63 - 1)
+    | st.floats(allow_nan=False) | st.text(max_size=20),
+    lambda children: st.lists(children, max_size=4)
+    | st.dictionaries(st.text(min_size=1, max_size=6), children, max_size=4),
+    max_leaves=12)
+
+
+@given(v=_value)
+@settings(max_examples=150, deadline=None)
+def test_native_proto_value_roundtrip(v):
+    from vector_spark.functions.native_proto import (decode_event_wrapper,
+                                                     encode_log_event)
+
+    assert decode_event_wrapper(encode_log_event({"v": v})) == {
+        "log": {"v": v}}

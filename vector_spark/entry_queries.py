@@ -1668,6 +1668,38 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_key_exclude": q_sample_key_exclude,
 }
 
+#: Round-4 window rotation (round-3 verdict #6): the correctness driver
+#: checks the FIRST 50 keys, so lead with (a) entries NEW this round,
+#: (b) the 34 entries whose latest driver check is r02, then (c) ten
+#: r03-green entries whose code paths were touched this round (geoip
+#: sweep, mmdb reader, influxdb ns fix, memory-table pointer fix,
+#: base64 chunk fix). Union of r03+r04 then covers every entry within
+#: one round. The twice-green remainder holds the back.
+_R4_FRONT = [
+    # (a) new in round 4
+    "media_decode", "avro_roundtrip", "lz4_roundtrip", "decode_vrl",
+    "enrich_mmdb_v6", "parse_native_proto",
+    # (b) last checked in r02
+    "throttle_rate_limit", "window_context_grab", "multiline_stitch",
+    "log_to_metric", "metric_to_log", "agg_modes_hourly", "agg_diff",
+    "incremental_to_absolute", "tag_cardinality_limit", "parse_json_props",
+    "dedupe_ttl", "agg_auto", "agg_histogram", "agg_summary",
+    "vrl_string_funcs", "parse_grok_apache", "parse_nginx_combined",
+    "parse_nginx_error", "parse_klog", "parse_cef", "enrich_geoip",
+    "vrl_ip_ua_funcs", "vrl_misc_funcs", "parse_xml", "gzip_roundtrip",
+    "parse_syslog3164", "syslog_encode_roundtrip", "parse_gelf_roundtrip",
+    "reduce_merge_strategies", "log_to_metric_gauge", "log_to_metric_set",
+    "log_to_metric_all", "trace_to_log", "sample_key_exclude",
+    # (c) r03-green but code-touched this round
+    "enrich_mmdb_geoip", "parse_influxdb", "memory_feedback_lookup",
+    "parse_native_json", "media_byte_features", "vrl_codec_hash_funcs",
+    "vrl_shape_text_funcs", "vrl_net_crypto_funcs", "pipeline_sink_counts",
+    "parse_classify",
+]
+assert set(_R4_FRONT) <= set(QUERIES), sorted(set(_R4_FRONT) - set(QUERIES))
+QUERIES = {name: QUERIES[name] for name in
+           _R4_FRONT + [q for q in QUERIES if q not in _R4_FRONT]}
+
 
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (same semantics, same aliases)
