@@ -119,3 +119,50 @@ def test_file_sink_arrow_format(spark, events, tmp_path):
     n = sum(decode_arrow_ipc_py(bytes(r["payload"])).num_rows for r in back)
     assert n == events.count()
     assert all(r["n_rows"] >= 1 for r in back)
+
+
+def test_encode_cef_reference_vector(spark):
+    """Byte-anchored to the reference's encoder test expectation
+    (lib/codecs/src/encoding/format/cef.rs:538): keys sorted, only
+    backslash and '=' escaped in extensions, '|' and backslash in
+    headers."""
+    from vector_spark.sinks.encode import encode_cef
+
+    df = spark.range(1)
+    line = encode_cef(
+        "0", "Datadog", "Vector", "0", "Telemetry Event", "Event name", "1",
+        extensions={
+            "bool": F.lit("true"), "comma": F.lit("abc,bcd"),
+            "float": F.lit("3.1415925"), "foo": F.lit("bar"),
+            "int": F.lit("123"),
+            "quote": F.lit('the "quote" should be escaped'),
+            "space": F.lit("sp ace"),
+            "time": F.lit("2023-02-27T07:04:49.363Z"),
+        })
+    got = df.select(line.alias("l")).first()["l"]
+    assert got == ('CEF:0|Datadog|Vector|0|Telemetry Event|Event name|1|'
+                   'bool=true comma=abc,bcd float=3.1415925 foo=bar int=123 '
+                   'quote=the "quote" should be escaped space=sp ace '
+                   'time=2023-02-27T07:04:49.363Z')
+
+
+def test_encode_cef_escaping_and_null_ext(spark):
+    from vector_spark.sinks.encode import encode_cef
+
+    df = spark.range(1)
+    line = encode_cef(
+        "0", F.lit("ven|dor"), F.lit("pro\\duct"), "1", "c", "n", "5",
+        extensions={"k": F.lit("a=b\\c"), "empty": F.lit(None).cast("string")})
+    got = df.select(line.alias("l")).first()["l"]
+    assert got == ("CEF:0|ven\\|dor|pro\\\\duct|1|c|n|5|"
+                   "empty= k=a\\=b\\\\c")
+
+
+def test_encode_raw_message(spark, events):
+    from vector_spark.sinks.encode import encode_raw_message
+
+    renamed = events.withColumnRenamed("text", "message")
+    out = renamed.select(
+        encode_raw_message(renamed, "message").alias("v")).collect()
+    src = [r["text"] for r in events.select("text").collect()]
+    assert sorted(r["v"] for r in out) == sorted(src)

@@ -375,6 +375,34 @@ def q_avro_roundtrip(spark, sf_dir):
                       F.col("rec.text").alias("text"))
 
 
+def q_cef_roundtrip(spark, sf_dir):
+    """encode_cef -> parse_cef round trip (sinks/encode.py encode_cef;
+    reference encoding/format/cef.rs vs parse_cef.cue): header pipes are
+    escaped on encode and unescaped on parse (the name field carries a
+    literal '|'), extensions sort by key; oracle = identity derivations,
+    so any escape asymmetry fails the hash."""
+    from vector_spark.functions.parse_presets import parse_cef
+    from vector_spark.sinks.encode import encode_cef
+
+    t = _transcripts(spark, sf_dir)
+    line = encode_cef(
+        "0", "vector-spark", "pipeline", "1.0",
+        F.col("role"), F.concat(F.lit("turn|"), F.col("role")),
+        (F.col("turn_idx") % 10).cast("string"),
+        extensions={"src": F.col("conv_id"),
+                    "cnt": F.col("turn_idx").cast("string")})
+    enc = t.select("conv_id", "turn_idx", line.alias("text"))
+    p = parse_cef(enc, extension_keys=["src", "cnt"])
+    return p.select(
+        "conv_id", "turn_idx",
+        F.col("device_vendor").alias("vendor"),
+        F.col("event_class_id").alias("ecid"),
+        F.col("name").alias("cef_name"),
+        F.col("severity").alias("sev"),
+        F.col("ext_src").alias("ext_src"),
+        F.col("ext_cnt").alias("ext_cnt"))
+
+
 def q_decode_vrl(spark, sf_dir):
     """`vrl` decode format (functions/remap_lang.decode_vrl; reference
     lib/codecs/src/decoding/format/vrl.rs): decode each raw frame by
@@ -1595,6 +1623,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "avro_roundtrip": q_avro_roundtrip,
     "lz4_roundtrip": q_lz4_roundtrip,
     "decode_vrl": q_decode_vrl,
+    "cef_roundtrip": q_cef_roundtrip,
     "parse_csv_roundtrip": q_parse_csv_roundtrip,
     "parse_aws_alb": q_parse_aws_alb,
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,
@@ -1678,7 +1707,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _R4_FRONT = [
     # (a) new in round 4
     "media_decode", "avro_roundtrip", "lz4_roundtrip", "decode_vrl",
-    "enrich_mmdb_v6", "parse_native_proto",
+    "enrich_mmdb_v6", "parse_native_proto", "cef_roundtrip",
     # (b) last checked in r02
     "throttle_rate_limit", "window_context_grab", "multiline_stitch",
     "log_to_metric", "metric_to_log", "agg_modes_hourly", "agg_diff",
@@ -1988,6 +2017,14 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
              role, tool, text
       FROM read_parquet('{tp}')"""
     o["lz4_roundtrip"] = f"""SELECT conv_id, turn_idx, text
+      FROM read_parquet('{tp}')"""
+    o["cef_roundtrip"] = f"""SELECT conv_id, turn_idx,
+             'vector-spark' AS vendor,
+             role AS ecid,
+             'turn|' || role AS cef_name,
+             CAST(turn_idx % 10 AS VARCHAR) AS sev,
+             conv_id AS ext_src,
+             CAST(turn_idx AS VARCHAR) AS ext_cnt
       FROM read_parquet('{tp}')"""
     o["decode_vrl"] = f"""SELECT conv_id, turn_idx,
              lower(text) AS norm,

@@ -103,3 +103,40 @@ def decode_arrow_ipc_py(payload: bytes):
 
     with pa.ipc.open_stream(pa.BufferReader(payload)) as r:
         return r.read_all()
+
+
+# -- CEF codec (encoding/format/cef.rs) -------------------------------------
+
+def _cef_escape(c: Column, extra: str) -> Column:
+    """CEF escaping (cef.rs escape_special_chars): backslash first, then
+    the context character (| in headers, = in extensions). Literal
+    string replace — no regex metacharacter pitfalls."""
+    c = c.cast("string")
+    out = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    return F.replace(out, F.lit(extra), F.lit("\\" + extra))
+
+
+def encode_cef(version, device_vendor, device_product, device_version,
+               device_event_class_id, name, severity,
+               extensions: dict[str, Column] | None = None) -> Column:
+    """CEF codec (encoding/format/cef.rs:260,328): the 7 pipe-delimited
+    header fields (| and \\ escaped) then sorted `key=value` extensions
+    (= and \\ escaped), NULL extension values rendered empty like the
+    reference's Value::Null arm."""
+    hdr = [_cef_escape(x if isinstance(x, Column) else F.lit(x), "|")
+           for x in (version, device_vendor, device_product, device_version,
+                     device_event_class_id, name, severity)]
+    line = F.concat(F.lit("CEF:"), F.concat_ws("|", *hdr))
+    if extensions:
+        parts = [
+            F.concat(F.lit(k + "="),
+                     F.coalesce(_cef_escape(v, "="), F.lit("")))
+            for k, v in sorted(extensions.items())]  # cef.rs sorts keys
+        line = F.concat(line, F.lit("|"), F.concat_ws(" ", *parts))
+    return line
+
+
+def encode_raw_message(df: DataFrame, message_col: str = "message") -> Column:
+    """raw_message codec (encoding/format/raw_message.rs): the event's
+    message field verbatim, nothing else."""
+    return F.col(message_col).cast("string")
