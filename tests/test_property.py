@@ -251,3 +251,12 @@ def test_native_proto_value_roundtrip(v):
 
     assert decode_event_wrapper(encode_log_event({"v": v})) == {
         "log": {"v": v}}
+
+
+@given(data=st.binary(max_size=4096))
+@settings(max_examples=200, deadline=None)
+def test_snappy_roundtrip_property(data):
+    from vector_spark.functions.codecs import (snappy_compress,
+                                               snappy_decompress)
+
+    assert snappy_decompress(snappy_compress(data)) == data

@@ -288,11 +288,32 @@ def test_parse_cloudwatch_cue_example(spark):
 
 def test_gated_codecs_raise_actionable():
     import pytest as _pytest
-    from vector_spark.functions.codecs import (
-        encode_snappy_gated, encode_zstd_gated)
-    for fn in (encode_zstd_gated, encode_snappy_gated):
-        with _pytest.raises(ImportError, match="install on the cluster"):
-            fn()
+    from vector_spark.functions.codecs import encode_zstd_gated
+    # zstd is the only still-gated compression codec (full entropy coder)
+    with _pytest.raises(ImportError, match="install on the cluster"):
+        encode_zstd_gated()
+
+
+def test_snappy_cue_example_byte_exact():
+    """encode_snappy.cue / decode_snappy.cue example, byte-for-byte,
+    plus roundtrips with matches/overlaps (snappy is un-gated: pure-
+    Python block-format codec)."""
+    import base64
+
+    from vector_spark.functions.codecs import (snappy_compress,
+                                               snappy_decompress)
+
+    text = b"The quick brown fox jumps over 13 lazy dogs."
+    wire = base64.b64decode(
+        "LKxUaGUgcXVpY2sgYnJvd24gZm94IGp1bXBzIG92ZXIgMTMgbGF6eSBkb2dzLg==")
+    assert snappy_compress(text) == wire
+    assert snappy_decompress(wire) == text
+    for case in (b"", b"a", b"abcd" * 100, b"x" * 500, b"abcabcabcabc",
+                 b"The quick " * 60 + bytes(range(256)) * 2):
+        assert snappy_decompress(snappy_compress(case)) == case
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="length mismatch"):
+        snappy_decompress(b"\x05\x08abc")  # preamble says 5, literal is 3
 
 
 def test_lz4_cue_examples_byte_exact():

@@ -285,9 +285,31 @@ def test_random_seeded_bounds(spark):
 
 
 def test_gated_raise_actionable():
-    for fn in (M.parse_cbor, M.parse_proto, M.encode_proto, M.parse_dnstap):
+    # parse_cbor was un-gated in round 4 (pure-Python RFC 8949 decoder)
+    for fn in (M.parse_proto, M.encode_proto, M.parse_dnstap):
         with pytest.raises(ImportError, match="install on the cluster"):
             fn()
+
+
+def test_parse_cbor_ungated(spark):
+    """parse_cbor over Spark: the cue example payload + malformed input
+    (NULL contract) + nested values through the JSON rendering."""
+    import base64
+
+    from vector_spark.functions.cbor_codec import cbor_encode
+
+    rows = [
+        (base64.b64decode("oWVmaWVsZGV2YWx1ZQ=="),),   # cue example
+        (cbor_encode({"a": [1, -2, 2.5, None, True]}),),
+        (b"\xff\x00garbage",),
+        (None,),
+    ]
+    d = spark.createDataFrame(rows, "payload binary")
+    got = [r["j"] for r in
+           d.select(M.parse_cbor(F.col("payload")).alias("j")).collect()]
+    assert got[0] == '{"field":"value"}'
+    assert got[1] == '{"a":[1,-2,2.5,null,true]}'
+    assert got[2] is None and got[3] is None
 
 
 def test_match_datadog_query_delegates(spark):

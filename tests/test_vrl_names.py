@@ -75,7 +75,6 @@ def test_get_env_var_driver_side():
 
 
 def test_gated_names_raise_actionable():
-    for name in ("encode_zstd", "decode_zstd", "encode_snappy",
-                 "decode_snappy"):
+    for name in ("encode_zstd", "decode_zstd"):
         with pytest.raises(ImportError):
             vn.resolve(name)()

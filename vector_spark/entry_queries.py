@@ -403,6 +403,41 @@ def q_cef_roundtrip(spark, sf_dir):
         F.col("ext_cnt").alias("ext_cnt"))
 
 
+def q_parse_cbor(spark, sf_dir):
+    """parse_cbor (functions/cbor_codec.py; parse_cbor.cue, RFC 8949
+    appendix-A vectors verified): encode real wire bytes per row, decode
+    through the independent pure-Python parser, project typed fields
+    from the JSON rendering. Oracle = identity derivations."""
+    from vector_spark.functions.cbor_codec import encode_cbor, parse_cbor
+
+    t = _transcripts(spark, sf_dir)
+    enc = t.select(
+        "conv_id", "turn_idx",
+        encode_cbor(F.struct(
+            F.col("role"), F.col("tool"), F.col("text"),
+            F.col("turn_idx").cast("long").alias("n"))).alias("payload"))
+    p = enc.withColumn("j", parse_cbor(F.col("payload")))
+    return p.select(
+        "conv_id", "turn_idx",
+        F.get_json_object("j", "$.role").alias("role"),
+        F.get_json_object("j", "$.tool").alias("tool"),
+        F.get_json_object("j", "$.text").alias("text"),
+        F.get_json_object("j", "$.n").cast("long").alias("n"))
+
+
+def q_snappy_roundtrip(spark, sf_dir):
+    """encode_snappy -> decode_snappy round trip through the pure-Python
+    Snappy block codec (functions/codecs.py; encode_snappy.cue example
+    byte-verified). Oracle = identity projection."""
+    from vector_spark.functions.codecs import decode_snappy, encode_snappy
+
+    t = _transcripts(spark, sf_dir)
+    enc = t.select("conv_id", "turn_idx",
+                   encode_snappy(F.col("text")).alias("z"))
+    return enc.select("conv_id", "turn_idx",
+                      decode_snappy(F.col("z")).alias("text"))
+
+
 def q_decode_vrl(spark, sf_dir):
     """`vrl` decode format (functions/remap_lang.decode_vrl; reference
     lib/codecs/src/decoding/format/vrl.rs): decode each raw frame by
@@ -1624,6 +1659,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lz4_roundtrip": q_lz4_roundtrip,
     "decode_vrl": q_decode_vrl,
     "cef_roundtrip": q_cef_roundtrip,
+    "snappy_roundtrip": q_snappy_roundtrip,
+    "parse_cbor": q_parse_cbor,
     "parse_csv_roundtrip": q_parse_csv_roundtrip,
     "parse_aws_alb": q_parse_aws_alb,
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,
@@ -1708,6 +1745,7 @@ _R4_FRONT = [
     # (a) new in round 4
     "media_decode", "avro_roundtrip", "lz4_roundtrip", "decode_vrl",
     "enrich_mmdb_v6", "parse_native_proto", "cef_roundtrip",
+    "snappy_roundtrip", "parse_cbor",
     # (b) last checked in r02
     "throttle_rate_limit", "window_context_grab", "multiline_stitch",
     "log_to_metric", "metric_to_log", "agg_modes_hourly", "agg_diff",
@@ -2017,6 +2055,10 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
              role, tool, text
       FROM read_parquet('{tp}')"""
     o["lz4_roundtrip"] = f"""SELECT conv_id, turn_idx, text
+      FROM read_parquet('{tp}')"""
+    o["snappy_roundtrip"] = o["lz4_roundtrip"]
+    o["parse_cbor"] = f"""SELECT conv_id, turn_idx, role, tool, text,
+             CAST(turn_idx AS BIGINT) AS n
       FROM read_parquet('{tp}')"""
     o["cef_roundtrip"] = f"""SELECT conv_id, turn_idx,
              'vector-spark' AS vendor,

@@ -1,0 +1,205 @@
+"""Pure-Python CBOR codec (RFC 8949) — un-gates parse_cbor in-sandbox.
+
+Reference: VRL ``parse_cbor`` (parse_cbor.cue) delegates to a CBOR
+crate; no Python binding ships in this container, so this implements
+the (small, stable) wire format directly from the public RFC: major
+types 0-7, all additional-info length widths, indefinite-length
+bytes/text/arrays/maps with the 0xFF break, half/single/double floats,
+and tags (unwrapped, values passed through — the cue returns plain
+values). The encoder exists for deterministic roundtrip fixtures.
+
+Spark shape: ``parse_cbor`` decodes each binary payload to its JSON
+text rendering inside one Arrow ``pandas_udf`` — callers project typed
+fields with ``from_json``/``get_json_object``, the same honest typed
+boundary as the native codecs (arbitrary-shape CBOR has no static
+schema).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import struct
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_BREAK = object()
+
+
+def _read_uint(b: bytes, i: int, info: int) -> tuple[int, int]:
+    if info < 24:
+        return info, i
+    if info == 24:
+        return b[i], i + 1
+    if info == 25:
+        return int.from_bytes(b[i:i + 2], "big"), i + 2
+    if info == 26:
+        return int.from_bytes(b[i:i + 4], "big"), i + 4
+    if info == 27:
+        return int.from_bytes(b[i:i + 8], "big"), i + 8
+    raise ValueError(f"cbor: invalid additional info {info}")
+
+
+def _decode(b: bytes, i: int):
+    ib = b[i]
+    i += 1
+    major, info = ib >> 5, ib & 0x1F
+    if major == 0:  # unsigned int
+        return _read_uint(b, i, info)
+    if major == 1:  # negative int: -1 - n
+        n, i = _read_uint(b, i, info)
+        return -1 - n, i
+    if major == 2 or major == 3:  # byte / text string
+        if info == 31:  # indefinite: chunks until break
+            parts = []
+            while b[i] != 0xFF:
+                chunk, i = _decode(b, i)
+                parts.append(chunk)
+            raw = (b"" if major == 2 else "").join(parts)
+            return raw, i + 1
+        n, i = _read_uint(b, i, info)
+        raw = bytes(b[i:i + n])
+        return (raw if major == 2 else raw.decode("utf-8")), i + n
+    if major == 4:  # array
+        out = []
+        if info == 31:
+            while b[i] != 0xFF:
+                v, i = _decode(b, i)
+                out.append(v)
+            return out, i + 1
+        n, i = _read_uint(b, i, info)
+        for _ in range(n):
+            v, i = _decode(b, i)
+            out.append(v)
+        return out, i
+    if major == 5:  # map
+        out = {}
+        if info == 31:
+            while b[i] != 0xFF:
+                k, i = _decode(b, i)
+                v, i = _decode(b, i)
+                out[k] = v
+            return out, i + 1
+        n, i = _read_uint(b, i, info)
+        for _ in range(n):
+            k, i = _decode(b, i)
+            v, i = _decode(b, i)
+            out[k] = v
+        return out, i
+    if major == 6:  # tag: unwrap (cue returns plain values)
+        _tag, i = _read_uint(b, i, info)
+        return _decode(b, i)
+    # major 7: simple values + floats
+    if info == 20:
+        return False, i
+    if info == 21:
+        return True, i
+    if info in (22, 23):  # null / undefined
+        return None, i
+    if info == 24:  # simple value, one byte
+        return b[i], i + 1
+    if info == 25:
+        return struct.unpack(">e", b[i:i + 2])[0], i + 2
+    if info == 26:
+        return struct.unpack(">f", b[i:i + 4])[0], i + 4
+    if info == 27:
+        return struct.unpack(">d", b[i:i + 8])[0], i + 8
+    if info < 20:
+        return info, i  # unassigned simple value
+    raise ValueError(f"cbor: invalid simple/float info {info}")
+
+
+def cbor_decode(b: bytes):
+    val, end = _decode(bytes(b), 0)
+    if end != len(b):
+        raise ValueError(f"cbor: {len(b) - end} trailing bytes")
+    return val
+
+
+# -- encoder (definite lengths; fixture/roundtrip use) ----------------------
+
+def _head(major: int, n: int) -> bytes:
+    if n < 24:
+        return bytes([(major << 5) | n])
+    for info, width in ((24, 1), (25, 2), (26, 4), (27, 8)):
+        if n < (1 << (8 * width)):
+            return bytes([(major << 5) | info]) + n.to_bytes(width, "big")
+    raise ValueError("cbor: length too large")
+
+
+def cbor_encode(v) -> bytes:
+    if v is None:
+        return b"\xf6"
+    if isinstance(v, bool):
+        return b"\xf5" if v else b"\xf4"
+    if isinstance(v, int):
+        return _head(0, v) if v >= 0 else _head(1, -1 - v)
+    if isinstance(v, float):
+        if math.isnan(v) or v == struct.unpack(
+                ">f", struct.pack(">f", v))[0]:
+            return b"\xfa" + struct.pack(">f", v)
+        return b"\xfb" + struct.pack(">d", v)
+    if isinstance(v, bytes):
+        return _head(2, len(v)) + v
+    if isinstance(v, str):
+        raw = v.encode("utf-8")
+        return _head(3, len(raw)) + raw
+    if isinstance(v, (list, tuple)):
+        return _head(4, len(v)) + b"".join(cbor_encode(x) for x in v)
+    if isinstance(v, dict):
+        return _head(5, len(v)) + b"".join(
+            cbor_encode(k) + cbor_encode(x) for k, x in v.items())
+    raise TypeError(f"cbor: unsupported {type(v)}")
+
+
+# -- Spark column functions --------------------------------------------------
+
+def _jsonable(v):
+    if isinstance(v, bytes):  # JSON has no bytes: hex like the hex() VRL fn
+        return v.hex()
+    if isinstance(v, dict):
+        return {str(k): _jsonable(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_jsonable(x) for x in v]
+    return v
+
+
+def parse_cbor(data: Column) -> Column:
+    """parse_cbor.cue, UN-GATED: CBOR binary -> JSON text of the decoded
+    value (project typed fields with from_json — arbitrary CBOR has no
+    static schema). Malformed input -> NULL (the module's standard
+    NULL-on-parse-failure contract)."""
+    @F.pandas_udf("string")
+    def dec(payloads: pd.Series) -> pd.Series:
+        def one(p):
+            if p is None:
+                return None
+            try:
+                return json.dumps(_jsonable(cbor_decode(bytes(p))),
+                                  sort_keys=True, separators=(",", ":"))
+            except (ValueError, IndexError, UnicodeDecodeError, TypeError):
+                return None
+        return payloads.map(one)
+
+    return dec(data)
+
+
+def encode_cbor(struct_col: Column) -> Column:
+    """Inverse (fixture/roundtrip): struct -> CBOR map bytes."""
+    @F.pandas_udf("binary")
+    def enc(rows: pd.DataFrame) -> pd.Series:
+        cols = list(rows.columns)
+        out = []
+        for tup in rows.itertuples(index=False):
+            rec = {}
+            for c, v in zip(cols, tup):
+                if not isinstance(v, (bytes, list, dict)) and pd.isna(v):
+                    rec[c] = None
+                else:
+                    rec[c] = v.item() if hasattr(v, "item") else v
+            out.append(cbor_encode(rec))
+        return pd.Series(out)
+
+    return enc(struct_col)

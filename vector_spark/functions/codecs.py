@@ -71,14 +71,10 @@ def _gated(name: str, modules: tuple[str, ...]):
 
 
 def encode_zstd_gated(*_a, **_k):
-    """encode_zstd.cue — gated: no zstd binding in the sandbox."""
+    """encode_zstd.cue — gated: no zstd binding in the sandbox (the only
+    still-gated compression codec: the zstd format is a full entropy
+    coder, not reimplementable like the lz4/snappy block formats below)."""
     _gated("zstd", ("zstandard", "zstd", "cramjam"))
-
-
-def encode_snappy_gated(*_a, **_k):
-    """encode_snappy.cue — gated: no snappy binding in the sandbox.
-    (lz4 is NOT gated anymore: see the pure-Python block codec below.)"""
-    _gated("snappy", ("snappy", "cramjam"))
 
 
 # -- lz4 block format (encode_lz4.cue / decode_lz4.cue) -------------------
@@ -290,3 +286,143 @@ def encode_punycode(s: pd.Series) -> pd.Series:
 def decode_punycode(s: pd.Series) -> pd.Series:
     return s.map(lambda v: None if v is None else
                  ".".join(_puny_decode_label(x) for x in v.split(".")))
+
+
+# -- snappy block format (encode_snappy.cue / decode_snappy.cue) ----------
+# Pure-Python implementation of the public Snappy format spec
+# (format_description.txt): uncompressed-length uvarint preamble, then
+# tagged elements — 00 literal (len>=60 -> 1-4 extra length bytes),
+# 01/10/11 copies with 11-bit/2-byte/4-byte little-endian offsets.
+# Un-gates snappy in this sandbox; the cue example is byte-verified.
+
+def _read_uvarint(b: bytes, i: int) -> tuple[int, int]:
+    shift = acc = 0
+    while True:
+        byte = b[i]
+        i += 1
+        acc |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return acc, i
+        shift += 7
+
+
+def _write_uvarint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        byte = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(byte | 0x80)
+        else:
+            out.append(byte)
+            return bytes(out)
+
+
+def snappy_decompress(b: bytes) -> bytes:
+    total, i = _read_uvarint(b, 0)
+    out = bytearray()
+    n = len(b)
+    while i < n:
+        tag = b[i]
+        i += 1
+        t = tag & 3
+        if t == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nb = ln - 59
+                ln = int.from_bytes(b[i:i + nb], "little")
+                i += nb
+            ln += 1
+            out += b[i:i + ln]
+            i += ln
+            continue
+        if t == 1:
+            ln = ((tag >> 2) & 0x7) + 4
+            off = ((tag >> 5) << 8) | b[i]
+            i += 1
+        elif t == 2:
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(b[i:i + 2], "little")
+            i += 2
+        else:
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(b[i:i + 4], "little")
+            i += 4
+        start = len(out) - off
+        if off == 0 or start < 0:
+            raise ValueError("snappy: invalid copy offset")
+        for _ in range(ln):  # byte-wise: copies may overlap themselves
+            out.append(out[start])
+            start += 1
+    if len(out) != total:
+        raise ValueError(
+            f"snappy: length mismatch ({len(out)} != preamble {total})")
+    return bytes(out)
+
+
+def snappy_compress(data: bytes) -> bytes:
+    out = bytearray(_write_uvarint(len(data)))
+    n = len(data)
+
+    def emit_literal(lo: int, hi: int) -> None:
+        ln = hi - lo - 1
+        if ln < 60:
+            out.append(ln << 2)
+        else:
+            nb = (ln.bit_length() + 7) // 8
+            out.append((59 + nb) << 2)
+            out.extend(ln.to_bytes(nb, "little"))
+        out.extend(data[lo:hi])
+
+    table: dict[bytes, int] = {}
+    anchor = i = 0
+    while i + 4 <= n:
+        key = bytes(data[i:i + 4])
+        cand = table.get(key)
+        table[key] = i
+        if cand is None or i - cand > 0xFFFFFFFF:
+            i += 1
+            continue
+        mlen = 4
+        while i + mlen < n and data[cand + mlen] == data[i + mlen]:
+            mlen += 1
+        if i > anchor:
+            emit_literal(anchor, i)
+        off = i - cand
+        rem = mlen
+        while rem >= 4:
+            # spec trick: a 60-63 chunk could strand a 1-3 byte tail copy,
+            # so long matches emit 64s and a 60 before the final chunk
+            take = 64 if rem >= 68 else (60 if rem > 64 else rem)
+            if take <= 64 and 4 <= take and off < 65536:
+                out.append(((take - 1) << 2) | 2)
+                out.extend(off.to_bytes(2, "little"))
+            else:
+                out.append(((take - 1) << 2) | 3)
+                out.extend(off.to_bytes(4, "little"))
+            rem -= take
+        i += mlen - rem
+        anchor = i
+        if rem:  # sub-4 tail rejoins the literal stream
+            i = anchor
+    if anchor < n:
+        emit_literal(anchor, n)
+    return bytes(out)
+
+
+def encode_snappy(s):
+    """Column function: encode_snappy(col) (encode_snappy.cue)."""
+    @pandas_udf(BinaryType())
+    def _enc(v: pd.Series) -> pd.Series:
+        return v.map(lambda x: None if x is None else snappy_compress(
+            x.encode() if isinstance(x, str) else bytes(x)))
+    return _enc(s)
+
+
+def decode_snappy(s):
+    """Column function: decode_snappy(col) (decode_snappy.cue)."""
+    @pandas_udf(StringType())
+    def _dec(v: pd.Series) -> pd.Series:
+        return v.map(lambda x: None if x is None else
+                     snappy_decompress(bytes(x)).decode())
+    return _dec(s)

@@ -5,9 +5,10 @@ website/cue/reference/remap/functions/*.cue): every function returns a
 pyspark Column built from JVM-side builtins wherever the semantics
 allow; the handful that genuinely need Python (sha3, community_id,
 punycode-adjacent charset work, AES, base62) are Arrow-batched pandas
-UDFs, never per-row Python UDFs. Gated stubs (parse_cbor, parse_proto,
+UDFs, never per-row Python UDFs. Gated stubs (parse_proto,
 parse_dnstap) raise actionable ImportErrors — the bindings are absent
-from this container.
+from this container (parse_cbor/lz4/snappy were un-gated in round 4
+with pure-Python spec implementations).
 
 Type-predicate note: VRL's is_string/is_integer/... inspect a dynamic
 value at runtime; a Spark column's type is static in the schema, so the
@@ -896,9 +897,12 @@ def _gated(name: str, modules: tuple[str, ...]):
         "shows the exact pattern to slot a binding into.")
 
 
-def parse_cbor(*_a, **_k):
-    """parse_cbor.cue — gated: no cbor binding in the sandbox."""
-    _gated("parse_cbor", ("cbor2", "cbor"))
+def parse_cbor(c):
+    """parse_cbor.cue — UN-GATED: pure-Python RFC 8949 decoder
+    (functions/cbor_codec.py; RFC appendix-A vectors + the cue example
+    verified). Returns the JSON text of the decoded value."""
+    from vector_spark.functions.cbor_codec import parse_cbor as _p
+    return _p(_c(c))
 
 
 def parse_proto(*_a, **_k):
@@ -1005,10 +1009,17 @@ def decode_zstd_gated(*_a, **_k):
     encode_zstd_gated()
 
 
-def decode_snappy_gated(*_a, **_k):
-    """decode_snappy.cue — same gate as the encoder (codecs.py)."""
-    from vector_spark.functions.codecs import encode_snappy_gated
-    encode_snappy_gated()
+def decode_snappy(c):
+    """decode_snappy.cue — UN-GATED: pure-Python block-format decoder
+    (functions/codecs.py, cue example byte-verified)."""
+    from vector_spark.functions.codecs import decode_snappy as _d
+    return _d(c)
+
+
+def encode_snappy(c):
+    """encode_snappy.cue — UN-GATED: pure-Python block-format encoder."""
+    from vector_spark.functions.codecs import encode_snappy as _e
+    return _e(c)
 
 
 def decode_lz4(c, buf_size: int = 1 << 20, prepended_size: bool = False):

@@ -189,11 +189,9 @@ VRL_NAMES: dict[str, object] = {
     # DataFrame-level encoders (sink codecs) under their cue names
     "encode_json": _vrl.encode_json_col,
     "encode_key_value": _more.encode_key_value,
-    # gated codecs (bindings absent in-sandbox; actionable errors)
+    # zstd stays gated (full entropy coder, binding absent in-sandbox)
     "encode_zstd": _codecs.encode_zstd_gated,
     "decode_zstd": _more.decode_zstd_gated,
-    "encode_snappy": _codecs.encode_snappy_gated,
-    "decode_snappy": _more.decode_snappy_gated,
 }
 
 
