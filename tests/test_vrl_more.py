@@ -285,10 +285,11 @@ def test_random_seeded_bounds(spark):
 
 
 def test_gated_raise_actionable():
-    # parse_cbor was un-gated in round 4 (pure-Python RFC 8949 decoder)
-    for fn in (M.parse_proto, M.encode_proto, M.parse_dnstap):
-        with pytest.raises(ImportError, match="install on the cluster"):
-            fn()
+    # parse_cbor/parse_proto/encode_proto were un-gated in round 4
+    # (pure-Python RFC 8949 + descriptor-set wire decoders); dnstap's
+    # stub now names the parse_proto + .desc remedy
+    with pytest.raises(ImportError, match="parse_proto"):
+        M.parse_dnstap()
 
 
 def test_parse_cbor_ungated(spark):

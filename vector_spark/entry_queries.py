@@ -425,6 +425,37 @@ def q_parse_cbor(spark, sf_dir):
         F.get_json_object("j", "$.n").cast("long").alias("n"))
 
 
+def q_parse_proto(spark, sf_dir):
+    """parse_proto/encode_proto (functions/proto_codec.py;
+    parse_proto.cue + decoding/format/protobuf.rs): generic wire codec
+    driven by a compiled descriptor set — the .desc is itself protobuf,
+    decoded with the hand-rolled reader, no library. Round-trips
+    scalars, an enum (rendered by symbol), and an int64 through real
+    wire bytes; verified against the reference's own .pb fixtures in
+    tests. Oracle = identity derivations."""
+    from vector_spark.functions.proto_codec import (encode_proto,
+                                                    ensure_demo_desc,
+                                                    parse_proto)
+
+    desc = ensure_demo_desc()
+    t = _transcripts(spark, sf_dir)
+    enc = t.select(
+        "conv_id", "turn_idx",
+        encode_proto(F.struct(
+            F.col("conv_id"), F.col("turn_idx").cast("long").alias("n"),
+            F.col("role"),
+            F.when(F.col("turn_idx") % 3 == 0, "LOG")
+            .when(F.col("turn_idx") % 3 == 1, "METRIC")
+            .otherwise("TRACE").alias("kind")),
+            desc, "vs.Turn").alias("payload"))
+    p = enc.withColumn("j", parse_proto(F.col("payload"), desc, "vs.Turn"))
+    return p.select(
+        "conv_id", "turn_idx",
+        F.get_json_object("j", "$.role").alias("role"),
+        F.get_json_object("j", "$.kind").alias("kind"),
+        F.get_json_object("j", "$.n").cast("long").alias("n"))
+
+
 def q_snappy_roundtrip(spark, sf_dir):
     """encode_snappy -> decode_snappy round trip through the pure-Python
     Snappy block codec (functions/codecs.py; encode_snappy.cue example
@@ -1661,6 +1692,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cef_roundtrip": q_cef_roundtrip,
     "snappy_roundtrip": q_snappy_roundtrip,
     "parse_cbor": q_parse_cbor,
+    "parse_proto": q_parse_proto,
     "parse_csv_roundtrip": q_parse_csv_roundtrip,
     "parse_aws_alb": q_parse_aws_alb,
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,
@@ -1745,7 +1777,7 @@ _R4_FRONT = [
     # (a) new in round 4
     "media_decode", "avro_roundtrip", "lz4_roundtrip", "decode_vrl",
     "enrich_mmdb_v6", "parse_native_proto", "cef_roundtrip",
-    "snappy_roundtrip", "parse_cbor",
+    "snappy_roundtrip", "parse_cbor", "parse_proto",
     # (b) last checked in r02
     "throttle_rate_limit", "window_context_grab", "multiline_stitch",
     "log_to_metric", "metric_to_log", "agg_modes_hourly", "agg_diff",
@@ -2058,6 +2090,11 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
       FROM read_parquet('{tp}')"""
     o["snappy_roundtrip"] = o["lz4_roundtrip"]
     o["parse_cbor"] = f"""SELECT conv_id, turn_idx, role, tool, text,
+             CAST(turn_idx AS BIGINT) AS n
+      FROM read_parquet('{tp}')"""
+    o["parse_proto"] = f"""SELECT conv_id, turn_idx, role,
+             CASE turn_idx % 3 WHEN 0 THEN 'LOG' WHEN 1 THEN 'METRIC'
+                  ELSE 'TRACE' END AS kind,
              CAST(turn_idx AS BIGINT) AS n
       FROM read_parquet('{tp}')"""
     o["cef_roundtrip"] = f"""SELECT conv_id, turn_idx,

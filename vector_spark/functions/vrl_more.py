@@ -905,19 +905,32 @@ def parse_cbor(c):
     return _p(_c(c))
 
 
-def parse_proto(*_a, **_k):
-    """parse_proto.cue — gated: protobuf absent from the sandbox."""
-    _gated("parse_proto", ("google.protobuf",))
+def parse_proto(c, desc_file: str, message_type: str):
+    """parse_proto.cue — UN-GATED: descriptor-set-driven generic wire
+    decoder (functions/proto_codec.py; the .desc file is itself protobuf
+    with the public descriptor.proto schema, so no library is needed).
+    Verified against the reference's own protobuf test fixtures."""
+    from vector_spark.functions.proto_codec import parse_proto as _p
+    return _p(_c(c), desc_file, message_type)
 
 
-def encode_proto(*_a, **_k):
-    """encode_proto.cue — gated: protobuf absent from the sandbox."""
-    _gated("encode_proto", ("google.protobuf",))
+def encode_proto(c, desc_file: str, message_type: str):
+    """encode_proto.cue — UN-GATED (functions/proto_codec.py)."""
+    from vector_spark.functions.proto_codec import encode_proto as _e
+    return _e(c, desc_file, message_type)
 
 
 def parse_dnstap(*_a, **_k):
-    """parse_dnstap.cue — gated: dnstap is protobuf-framed."""
-    _gated("parse_dnstap", ("google.protobuf", "dnstap_pb"))
+    """parse_dnstap.cue — still gated: dnstap framing needs the dnstap
+    descriptor set. With one compiled from the public dnstap.proto, the
+    decode itself now works via parse_proto (proto_codec.py) — pass the
+    .desc path there; this stub names that remedy."""
+    raise ImportError(
+        "parse_dnstap: compile the public dnstap.proto to a descriptor "
+        "set (protoc --descriptor_set_out) and use parse_proto(col, "
+        "desc_file, 'dnstap.Dnstap') — the generic wire decoder in "
+        "functions/proto_codec.py handles it; no binding ships in this "
+        "environment, so install on the cluster or ship the .desc.")
 
 
 # -- remaining name-parity wrappers ---------------------------------------
