@@ -1,0 +1,72 @@
+"""dnstap decode (functions/dnstap_codec.py): the parse_dnstap.cue
+example's in-scope fields, DNS name compression, fixture roundtrips,
+and the NULL contract on Spark."""
+
+import base64
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.functions import dnstap_codec as dc
+
+CUE_FRAME = base64.b64decode(
+    "ChVqYW1lcy1WaXJ0dWFsLU1hY2hpbmUSC0JJTkQgOS4xNi4zGgBy5wEIAxACGAEiEAAAAAAA"
+    "AAAAAAAAAAAAAAAqECABBQJwlAAAAAAAAAAAADAw8+0CODVA7+zq9wVNMU3WNlI2kwIAAAAB"
+    "AAAAAAABCWZhY2Vib29rMQNjb20AAAEAAQAAKQIAAACAAAAMAAoACOxjCAG9zVgzWgUDY29t"
+    "AGAAbQAAAAByZLM4AAAAAQAAAAAAAQJoNQdleGFtcGxlA2NvbQAABgABAAApBNABAUAAADkA"
+    "DwA1AAlubyBTRVAgbWF0Y2hpbmcgdGhlIERTIGZvdW5kIGZvciBkbnNzZWMtZmFpbGVkLm9y"
+    "Zy54AQ==")
+
+
+def test_cue_example_in_scope_fields():
+    """Every field the cue example shows that is inside our documented
+    scope must match exactly."""
+    d = dc.dnstap_decode(CUE_FRAME)
+    assert d["dataType"] == "Message" and d["dataTypeId"] == 1
+    assert d["messageType"] == "ResolverQuery" and d["messageTypeId"] == 3
+    assert d["extraInfo"] == ""
+    assert d["queryZone"] == "com."
+    assert d["serverIdentity"] == "james-Virtual-Machine"
+    assert d["serverVersion"] == "BIND 9.16.3"
+    assert d["socketFamily"] == "INET6"
+    assert d["socketProtocol"] == "UDP"
+    assert d["sourcePort"] == 46835 and d["responsePort"] == 53
+    assert d["responseAddress"] == "2001:502:7094::30"
+    h = d["requestData"]["header"]
+    assert h["id"] == 37634 and h["qdCount"] == 1 and h["arCount"] == 1
+    assert h["anCount"] == 0 and h["nsCount"] == 0 and h["opcode"] == 0
+    assert d["requestData"]["fullRcode"] == 0
+    assert d["requestData"]["question"] == [
+        {"domainName": "facebook1.com.", "questionTypeId": 1, "classId": 1}]
+
+
+def test_dns_name_compression_pointer():
+    # header + question "a.example.com." then a second name as a pointer
+    msg = dc.encode_dns_question("a.example.com", dns_id=7)
+    name, _ = dc._read_name(msg, 12)
+    assert name == "a.example.com."
+    # pointer at offset 14 -> "example.com." (skips the leading label)
+    ptr = msg + b"\xc0\x0e"
+    name2, _ = dc._read_name(ptr, len(msg))
+    assert name2 == "example.com."
+    with pytest.raises(ValueError, match="compression loop"):
+        dc._read_name(b"\xc0\x00", 0)
+
+
+def test_fixture_frame_roundtrip():
+    f = dc.encode_dnstap_frame("h1", "ClientQuery", "x.example.org", 99, 5353)
+    d = dc.dnstap_decode(f)
+    assert d["messageType"] == "ClientQuery"
+    assert d["sourceAddress"] == "10.0.0.1" and d["sourcePort"] == 5353
+    assert d["requestData"]["header"]["id"] == 99
+    assert d["requestData"]["question"][0]["domainName"] == "x.example.org."
+
+
+def test_spark_parse_dnstap_nulls(spark):
+    frames = [(CUE_FRAME,), (b"\x01\x02not-a-frame",), (None,)]
+    df = spark.createDataFrame(frames, "payload binary")
+    out = [r["j"] for r in df.select(
+        dc.parse_dnstap(F.col("payload")).alias("j")).collect()]
+    assert json.loads(out[0])["messageType"] == "ResolverQuery"
+    assert out[2] is None

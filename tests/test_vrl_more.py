@@ -285,11 +285,11 @@ def test_random_seeded_bounds(spark):
 
 
 def test_gated_raise_actionable():
-    # parse_cbor/parse_proto/encode_proto were un-gated in round 4
-    # (pure-Python RFC 8949 + descriptor-set wire decoders); dnstap's
-    # stub now names the parse_proto + .desc remedy
-    with pytest.raises(ImportError, match="parse_proto"):
-        M.parse_dnstap()
+    # round 4 un-gated parse_cbor / parse_proto / encode_proto /
+    # parse_dnstap (pure-Python RFC 8949 + descriptor-set wire decoders)
+    # and lz4/snappy; zstd remains the only gated codec (entropy coder)
+    with pytest.raises(ImportError, match="install on the cluster"):
+        M.decode_zstd_gated()
 
 
 def test_parse_cbor_ungated(spark):

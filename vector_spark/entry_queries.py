@@ -456,6 +456,37 @@ def q_parse_proto(spark, sf_dir):
         F.get_json_object("j", "$.n").cast("long").alias("n"))
 
 
+def q_parse_dnstap(spark, sf_dir):
+    """parse_dnstap (functions/dnstap_codec.py; parse_dnstap.cue —
+    envelope + DNS header/question scope, the cue example's in-scope
+    fields byte-verified in tests): real dnstap frames (protobuf
+    envelope wrapping RFC 1035 query messages) synthesized per row,
+    decoded by the independent parser. Oracle = identity derivations."""
+    from vector_spark.functions.dnstap_codec import (encode_dnstap_col,
+                                                     parse_dnstap)
+
+    t = _transcripts(spark, sf_dir)
+    frames = encode_dnstap_col(
+        F.concat(F.lit("host-"), F.col("role")),
+        F.when(F.col("turn_idx") % 2 == 0, "ClientQuery")
+        .otherwise("ResolverQuery"),
+        F.concat(F.coalesce(F.col("tool"), F.lit("none")),
+                 F.lit(".tools.internal")),
+        F.col("turn_idx") % 65536,
+        1024 + F.col("turn_idx") % 1000)
+    enc = t.select("conv_id", "turn_idx", frames.alias("payload"))
+    p = enc.withColumn("j", parse_dnstap(F.col("payload")))
+    return p.select(
+        "conv_id", "turn_idx",
+        F.get_json_object("j", "$.messageType").alias("msg_type"),
+        F.get_json_object("j", "$.serverIdentity").alias("identity"),
+        F.get_json_object("j", "$.sourcePort").cast("long").alias("src_port"),
+        F.get_json_object("j", "$.requestData.header.id").cast("long")
+        .alias("dns_id"),
+        F.get_json_object("j", "$.requestData.question[0].domainName")
+        .alias("qname"))
+
+
 def q_snappy_roundtrip(spark, sf_dir):
     """encode_snappy -> decode_snappy round trip through the pure-Python
     Snappy block codec (functions/codecs.py; encode_snappy.cue example
@@ -1693,6 +1724,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snappy_roundtrip": q_snappy_roundtrip,
     "parse_cbor": q_parse_cbor,
     "parse_proto": q_parse_proto,
+    "parse_dnstap": q_parse_dnstap,
     "parse_csv_roundtrip": q_parse_csv_roundtrip,
     "parse_aws_alb": q_parse_aws_alb,
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,
@@ -1777,7 +1809,7 @@ _R4_FRONT = [
     # (a) new in round 4
     "media_decode", "avro_roundtrip", "lz4_roundtrip", "decode_vrl",
     "enrich_mmdb_v6", "parse_native_proto", "cef_roundtrip",
-    "snappy_roundtrip", "parse_cbor", "parse_proto",
+    "snappy_roundtrip", "parse_cbor", "parse_proto", "parse_dnstap",
     # (b) last checked in r02
     "throttle_rate_limit", "window_context_grab", "multiline_stitch",
     "log_to_metric", "metric_to_log", "agg_modes_hourly", "agg_diff",
@@ -2091,6 +2123,14 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
     o["snappy_roundtrip"] = o["lz4_roundtrip"]
     o["parse_cbor"] = f"""SELECT conv_id, turn_idx, role, tool, text,
              CAST(turn_idx AS BIGINT) AS n
+      FROM read_parquet('{tp}')"""
+    o["parse_dnstap"] = f"""SELECT conv_id, turn_idx,
+             CASE WHEN turn_idx % 2 = 0 THEN 'ClientQuery'
+                  ELSE 'ResolverQuery' END AS msg_type,
+             'host-' || role AS identity,
+             CAST(1024 + turn_idx % 1000 AS BIGINT) AS src_port,
+             CAST(turn_idx % 65536 AS BIGINT) AS dns_id,
+             coalesce(tool, 'none') || '.tools.internal.' AS qname
       FROM read_parquet('{tp}')"""
     o["parse_proto"] = f"""SELECT conv_id, turn_idx, role,
              CASE turn_idx % 3 WHEN 0 THEN 'LOG' WHEN 1 THEN 'METRIC'

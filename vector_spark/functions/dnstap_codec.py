@@ -1,0 +1,261 @@
+"""dnstap decode — protobuf envelope + DNS header/question parsing.
+
+Reference: VRL ``parse_dnstap`` (parse_dnstap.cue; the reference's
+dnstap-parser lib). The dnstap frame is a protobuf message with the
+public dnstap.proto schema, so the descriptor registry is built
+IN-MEMORY with functions/proto_codec.py's builder (field numbers below
+are dnstap.proto's, published at dnstap.info) and decoded by the same
+generic wire reader — no binding, no .desc file.
+
+SCOPE (documented partiality): the envelope (identity/version/type/
+message with addresses, ports, timestamps, query zone) plus the DNS
+wire-format HEADER and QUESTION section of the embedded messages
+(id/flags/opcode/rcode/section counts, QNAME label decode with
+compression pointers, qtype/qclass). Resource-record bodies, EDNS OPT
+options, and DNSSEC material are NOT decoded — the reference renders
+those too; callers needing them should run the reference's parser. The
+cue example's envelope/header/question fields are asserted in tests.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import json
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from vector_spark.functions.proto_codec import (
+    _LABEL_REPEATED,
+    _T_BYTES,
+    _T_ENUM,
+    _T_FIXED32,
+    _T_MESSAGE,
+    _T_UINT32,
+    _T_UINT64,
+    _build_enum,
+    _build_message,
+    build_descriptor_set,
+    decode_message,
+    load_descriptor_set,
+)
+
+# dnstap.proto (public): message/enum field numbers
+_MESSAGE_TYPES = {
+    1: "AuthQuery", 2: "AuthResponse", 3: "ResolverQuery",
+    4: "ResolverResponse", 5: "ClientQuery", 6: "ClientResponse",
+    7: "ForwarderQuery", 8: "ForwarderResponse", 9: "StubQuery",
+    10: "StubResponse", 11: "ToolQuery", 12: "ToolResponse",
+    13: "UpdateQuery", 14: "UpdateResponse",
+}
+
+
+def _dnstap_registry():
+    msg = _build_message("Message", {
+        "type": (1, _T_ENUM, 1, "dnstap.Message.Type"),
+        "socket_family": (2, _T_ENUM, 1, "dnstap.SocketFamily"),
+        "socket_protocol": (3, _T_ENUM, 1, "dnstap.SocketProtocol"),
+        "query_address": (4, _T_BYTES),
+        "response_address": (5, _T_BYTES),
+        "query_port": (6, _T_UINT32),
+        "response_port": (7, _T_UINT32),
+        "query_time_sec": (8, _T_UINT64),
+        "query_time_nsec": (9, _T_FIXED32),
+        "query_message": (10, _T_BYTES),
+        "query_zone": (11, _T_BYTES),
+        "response_time_sec": (12, _T_UINT64),
+        "response_time_nsec": (13, _T_FIXED32),
+        "response_message": (14, _T_BYTES),
+    })
+    dnstap = _build_message("Dnstap", {
+        "identity": (1, _T_BYTES),
+        "version": (2, _T_BYTES),
+        "extra": (3, _T_BYTES),
+        "message": (14, _T_MESSAGE, 1, "dnstap.Message"),
+        "type": (15, _T_ENUM, 1, "dnstap.Dnstap.Type"),
+    })
+    enums = [
+        _build_enum("SocketFamily", {"INET": 1, "INET6": 2}),
+        _build_enum("SocketProtocol", {
+            "UDP": 1, "TCP": 2, "DOH": 3, "DOT": 4,
+            "DNSCryptUDP": 5, "DNSCryptTCP": 6}),
+    ]
+    reg = load_descriptor_set(build_descriptor_set("dnstap", [dnstap, msg],
+                                                   enums))
+    # nested enums the builder spec above references by name
+    reg.enums["dnstap.Dnstap.Type"] = {1: "Message"}
+    reg.enums["dnstap.Message.Type"] = dict(_MESSAGE_TYPES)
+    return reg
+
+
+_REG = _dnstap_registry()
+
+
+# -- DNS wire format: header + question (RFC 1035 §4.1.1-4.1.2) -------------
+
+def _read_name(b: bytes, i: int, depth: int = 0) -> tuple[str, int]:
+    if depth > 16:
+        raise ValueError("dns: compression loop")
+    labels = []
+    while True:
+        ln = b[i]
+        if ln == 0:
+            return ".".join(labels) + ".", i + 1
+        if ln & 0xC0 == 0xC0:  # compression pointer
+            ptr = ((ln & 0x3F) << 8) | b[i + 1]
+            tail, _ = _read_name(b, ptr, depth + 1)
+            return (".".join(labels) + "." + tail if labels else tail), i + 2
+        i += 1
+        labels.append(b[i:i + ln].decode("ascii", "replace"))
+        i += ln
+
+
+def parse_dns_header_question(b: bytes) -> dict:
+    if len(b) < 12:
+        raise ValueError("dns: truncated header")
+    dns_id = int.from_bytes(b[0:2], "big")
+    flags = int.from_bytes(b[2:4], "big")
+    qd, an, ns, ar = (int.from_bytes(b[i:i + 2], "big")
+                      for i in (4, 6, 8, 10))
+    header = {
+        "id": dns_id,
+        "qr": (flags >> 15) & 1,
+        "opcode": (flags >> 11) & 0xF,
+        "aa": bool((flags >> 10) & 1),
+        "tc": bool((flags >> 9) & 1),
+        "rd": bool((flags >> 8) & 1),
+        "ra": bool((flags >> 7) & 1),
+        "ad": bool((flags >> 5) & 1),
+        "cd": bool((flags >> 4) & 1),
+        "rcode": flags & 0xF,
+        "qdCount": qd, "anCount": an, "nsCount": ns, "arCount": ar,
+    }
+    questions = []
+    i = 12
+    for _ in range(qd):
+        name, i = _read_name(b, i)
+        qtype = int.from_bytes(b[i:i + 2], "big")
+        qclass = int.from_bytes(b[i + 2:i + 4], "big")
+        i += 4
+        questions.append({"domainName": name, "questionTypeId": qtype,
+                          "classId": qclass})
+    return {"header": header, "question": questions,
+            "fullRcode": header["rcode"]}
+
+
+def _addr(raw: bytes | None) -> str | None:
+    if raw is None:
+        return None
+    if len(raw) == 4:
+        return str(ipaddress.IPv4Address(raw))
+    if len(raw) == 16:
+        return str(ipaddress.IPv6Address(raw))
+    return raw.hex()
+
+
+def dnstap_decode(payload: bytes) -> dict:
+    """One dnstap frame -> the reference-shaped dict (envelope + DNS
+    header/question of the embedded messages; see module SCOPE)."""
+    env = decode_message(_REG, "dnstap.Dnstap", bytes(payload))
+    out: dict = {
+        "dataType": env.get("type", "Message"),
+        "dataTypeId": 1,
+        "serverIdentity": (env.get("identity") or b"").decode("utf-8",
+                                                              "replace"),
+        "serverVersion": (env.get("version") or b"").decode("utf-8",
+                                                            "replace"),
+        "extraInfo": (env.get("extra") or b"").decode("utf-8", "replace"),
+    }
+    m = env.get("message")
+    if not m:
+        return out
+    mt = m.get("type")
+    out["messageType"] = mt
+    rev = {v: k for k, v in _MESSAGE_TYPES.items()}
+    out["messageTypeId"] = rev.get(mt)
+    out["socketFamily"] = m.get("socket_family")
+    out["socketProtocol"] = m.get("socket_protocol")
+    out["sourceAddress"] = _addr(m.get("query_address"))
+    out["responseAddress"] = _addr(m.get("response_address"))
+    out["sourcePort"] = m.get("query_port")
+    out["responsePort"] = m.get("response_port")
+    if "query_time_sec" in m:
+        out["timeSec"] = m["query_time_sec"]
+    if "query_zone" in m:
+        zone, _ = _read_name(m["query_zone"], 0)
+        out["queryZone"] = zone
+    if "query_message" in m:
+        out["requestData"] = parse_dns_header_question(m["query_message"])
+    if "response_message" in m:
+        out["responseData"] = parse_dns_header_question(
+            m["response_message"])
+    return out
+
+
+def parse_dnstap(data: Column) -> Column:
+    """parse_dnstap.cue, UN-GATED for envelope + header/question scope
+    (module docstring): dnstap frame -> JSON rendering; malformed input
+    -> NULL."""
+    @F.pandas_udf("string")
+    def dec(payloads: pd.Series) -> pd.Series:
+        def one(p):
+            if p is None:
+                return None
+            try:
+                return json.dumps(dnstap_decode(bytes(p)), sort_keys=True,
+                                  separators=(",", ":"))
+            except (ValueError, KeyError, IndexError, UnicodeDecodeError):
+                return None
+        return payloads.map(one)
+
+    return dec(data)
+
+
+# -- fixture encoder (roundtrip/oracle use) ---------------------------------
+
+def encode_dns_question(name: str, qtype: int = 1, qclass: int = 1,
+                        dns_id: int = 0, rd: bool = True) -> bytes:
+    """Minimal DNS query message: header + one question (RFC 1035)."""
+    flags = 0x0100 if rd else 0
+    hdr = (dns_id.to_bytes(2, "big") + flags.to_bytes(2, "big")
+           + (1).to_bytes(2, "big") + b"\x00" * 6)
+    q = b""
+    for label in name.rstrip(".").split("."):
+        raw = label.encode("ascii")
+        q += bytes([len(raw)]) + raw
+    q += b"\x00" + qtype.to_bytes(2, "big") + qclass.to_bytes(2, "big")
+    return hdr + q
+
+
+def encode_dnstap_frame(identity: str, message_type: str, qname: str,
+                        dns_id: int, query_port: int,
+                        query_address: str = "10.0.0.1") -> bytes:
+    """Deterministic dnstap frame for fixtures (proto encode through the
+    same registry the decoder uses)."""
+    from vector_spark.functions.proto_codec import encode_message
+
+    msg = {
+        "type": message_type,
+        "socket_family": "INET",
+        "socket_protocol": "UDP",
+        "query_address": ipaddress.IPv4Address(query_address).packed,
+        "query_port": query_port,
+        "query_message": encode_dns_question(qname, dns_id=dns_id),
+    }
+    return encode_message(_REG, "dnstap.Dnstap", {
+        "identity": identity.encode(), "version": b"vector-spark",
+        "type": "Message", "message": msg})
+
+
+def encode_dnstap_col(identity: Column, message_type: Column, qname: Column,
+                      dns_id: Column, port: Column) -> Column:
+    """Column form of the fixture encoder (Arrow batches)."""
+    @F.pandas_udf("binary")
+    def enc(idn: pd.Series, mt: pd.Series, qn: pd.Series, di: pd.Series,
+            pt: pd.Series) -> pd.Series:
+        return pd.Series([
+            encode_dnstap_frame(a, b, c, int(d) & 0xFFFF, int(e))
+            for a, b, c, d, e in zip(idn, mt, qn, di, pt)])
+
+    return enc(identity, message_type, qname, dns_id, port)

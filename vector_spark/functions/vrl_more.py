@@ -920,17 +920,14 @@ def encode_proto(c, desc_file: str, message_type: str):
     return _e(c, desc_file, message_type)
 
 
-def parse_dnstap(*_a, **_k):
-    """parse_dnstap.cue — still gated: dnstap framing needs the dnstap
-    descriptor set. With one compiled from the public dnstap.proto, the
-    decode itself now works via parse_proto (proto_codec.py) — pass the
-    .desc path there; this stub names that remedy."""
-    raise ImportError(
-        "parse_dnstap: compile the public dnstap.proto to a descriptor "
-        "set (protoc --descriptor_set_out) and use parse_proto(col, "
-        "desc_file, 'dnstap.Dnstap') — the generic wire decoder in "
-        "functions/proto_codec.py handles it; no binding ships in this "
-        "environment, so install on the cluster or ship the .desc.")
+def parse_dnstap(c):
+    """parse_dnstap.cue — UN-GATED for the envelope + DNS header/
+    question scope (functions/dnstap_codec.py: in-memory dnstap.proto
+    registry through the generic wire decoder; RR/EDNS/DNSSEC bodies
+    are a documented non-goal — the cue example's in-scope fields are
+    asserted in tests)."""
+    from vector_spark.functions.dnstap_codec import parse_dnstap as _p
+    return _p(_c(c))
 
 
 # -- remaining name-parity wrappers ---------------------------------------
