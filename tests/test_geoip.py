@@ -56,3 +56,31 @@ def test_ip_vrl_functions(spark):
         ip_cidr_contains("10.0.0.0/18", F.col("ip")).alias("outside")).first()
     assert r["s18"] == "10.0.128.0"
     assert r["inside"] is True and r["outside"] is False
+
+
+def test_enrich_cidr_scales_to_many_networks(spark):
+    """Regression guard for the round-3 advice: the disjoint-interval
+    build must be sweep-based (O(P log P)), not per-boundary rescan —
+    20k networks through table build + broadcast join in seconds, with
+    spot lookups exact."""
+    import time
+
+    # 20k disjoint /24s across 10.x and 172.16-31.x plus nested overrides
+    nets = [(f"10.{i // 256 % 256}.{i % 256}.0/24", i) for i in range(15000)]
+    nets += [(f"172.{16 + i // 256 % 16}.{i % 256}.0/24", 100000 + i)
+             for i in range(5000)]
+    nets.append(("10.0.0.0/8", 999999))  # covering net the /24s nest inside
+    table = spark.createDataFrame(nets, "cidr string, asn long")
+    df = spark.createDataFrame(
+        [("10.0.5.77",), ("10.58.140.9",), ("172.17.1.1",), ("203.0.113.9",),
+         ("10.200.200.200",)], "ip string")
+    t0 = time.perf_counter()
+    out = {r["ip"]: r["asn"]
+           for r in enrich_cidr(df, table, "ip").collect()}
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 60, f"table build + join took {elapsed:.1f}s"
+    assert out["10.0.5.77"] == 5          # 10.0.5.0/24 -> i=5
+    assert out["10.58.140.9"] == 58 * 256 + 140
+    assert out["172.17.1.1"] == 100000 + 256 + 1
+    assert out["203.0.113.9"] is None     # uncovered
+    assert out["10.200.200.200"] == 999999  # only the /8 covers it

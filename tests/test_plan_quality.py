@@ -117,3 +117,19 @@ def test_aws_parsers_single_tokenizer_pass(spark, tpath):
     assert alb.count("regexp_extract_all") == 1
     vpc = _plan(parse_aws_vpc_flow_df(df))
     assert vpc.count("split(") == 1
+
+
+def test_no_per_row_python_in_any_query_plan(spark):
+    """Sweep every queries() entry: per-row Python UDFs (BatchEvalPython)
+    are banned repo-wide — Python hops must be Arrow-vectorized
+    (ArrowEvalPython / MapInPandas / MapInArrow / FlatMapGroupsInPandas).
+    Plans only; nothing executes."""
+    from __spark_entry__ import queries
+
+    offenders = []
+    for name, fn in queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"per-row Python UDF in: {offenders}"

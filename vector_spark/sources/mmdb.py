@@ -270,11 +270,17 @@ def mmdb_to_cidr_table(spark, path: str, fields: list[str] | None = None,
         if types[f] == "STRING" and not isinstance(v, str):
             return str(v)
         return v
-    data = [tuple([cidr] + [coerce(f, flat.get(f)) for f in fields])
-            for cidr, flat in sorted(rows)]
+    rows.sort()
     schema = "cidr STRING" + "".join(
         f", {c} {types[f]}" for c, f in zip(cols, fields))
-    return spark.createDataFrame(data, schema)
+    # columnar pandas build + Arrow transfer: a GeoLite2-City-scale table
+    # (~4M networks) must not serialize as millions of pickled tuples
+    import pandas as pd
+    pdf = pd.DataFrame({"cidr": [cidr for cidr, _ in rows]} | {
+        c: pd.Series([coerce(f, flat.get(f)) for _, flat in rows],
+                     dtype=object)
+        for c, f in zip(cols, fields)})
+    return spark.createDataFrame(pdf, schema)
 
 
 def enrich_mmdb(df, path: str, ip_col: str,
