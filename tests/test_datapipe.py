@@ -241,3 +241,51 @@ def test_decode_media_matches_jvm_byte_features(docs):
     # and the stubbed decode emits the deterministic fake dims
     w = decode_media(m, decoder=fake_decoder).select("doc_id", "width", "height").first()
     assert w.width % 16 == 0 and w.height % 16 == 0
+
+
+def test_contamination_check_semantics(spark):
+    from vector_spark.datapipe.packing import contamination_check
+
+    docs = spark.createDataFrame([
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps somewhere else entirely"),  # shares 3-grams
+        (2, "completely different words appear here today"),
+        (3, "short text"),  # under shingle size -> no shingles
+    ], "doc_id long, text string")
+    bench = docs.where("doc_id = 0")
+    out = {r["doc_id"]: (r["n_collisions"], r["contaminated"])
+           for r in contamination_check(docs, bench, min_shared=2).collect()}
+    assert out[0][1] is True          # benchmark doc collides with itself
+    assert out[1] == (3, True)        # "the quick brown", "quick brown fox",
+                                      # "brown fox jumps"
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+    # plan: benchmark index must broadcast (corpus side never shuffles
+    # for the join)
+    plan = contamination_check(docs, bench)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_concat_chunks_invariants(spark):
+    from vector_spark.datapipe.packing import pack_concat_chunks
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (37 + i % 91))) for i in range(200)],
+        "doc_id long, text string")
+    rows = pack_concat_chunks(docs, max_tokens=100, n_shards=8).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == set(range(8))
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rs:
+            assert r["doc_id"] % 8 == shard
+            assert r["start_off"] == off          # contiguous, no gaps
+            assert r["bin"] == r["start_off"] // 100
+            end = r["start_off"] + r["n_tokens"]
+            assert r["crosses_boundary"] == (
+                (end - 1) // 100 != r["start_off"] // 100)
+            off = end

@@ -301,3 +301,38 @@ def media_features_sql() -> str:
       CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS first_byte,
       CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS byte_checksum
     FROM documents"""
+
+
+def contamination_sql(bench_mod: int = 100, min_shared: int = 2) -> str:
+    """Twin of packing.contamination_check: benchmark = doc_id %
+    bench_mod == 0 subset, same shingle constant (SHINGLE_K)."""
+    return f"""WITH bsh AS (
+        SELECT DISTINCT unnest({_SHINGLES}) AS shingle
+        FROM documents WHERE doc_id % {bench_mod} = 0),
+      csh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+      hits AS (SELECT doc_id, count(*) AS n FROM csh
+               JOIN bsh USING (shingle) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_collisions,
+           coalesce(h.n, 0) >= {min_shared} AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
+
+
+def pack_chunks_sql(max_tokens: int = 512, n_shards: int = 32) -> str:
+    """Twin of packing.pack_concat_chunks (per-shard prefix sums)."""
+    toks = duck_tokens("text")
+    return f"""WITH t AS (
+        SELECT doc_id, CAST(doc_id % {n_shards} AS INTEGER) AS shard,
+               CAST(len({toks}) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (SELECT doc_id, shard, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS end_off
+            FROM t)
+    SELECT doc_id, shard, n_tokens,
+           end_off - n_tokens AS start_off,
+           CAST(floor((end_off - n_tokens) / {max_tokens}) AS BIGINT) AS bin,
+           floor(greatest(end_off - 1, end_off - n_tokens) / {max_tokens})
+               <> floor((end_off - n_tokens) / {max_tokens})
+               AS crosses_boundary
+    FROM c"""

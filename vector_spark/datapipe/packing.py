@@ -1,0 +1,71 @@
+"""Training-batch construction ops: benchmark-contamination check and
+concat-and-chunk sequence packing.
+
+Beyond the reference's operator set (SURVEY.md training-data block):
+these are the last-mile steps between a cleaned corpus and a training
+run, re-expressed Spark-first.
+
+Contamination: the published n-gram collision methodology (GPT-3
+appendix C / C4 dedup papers) — a document is contaminated when it
+shares >= ``min_shared`` distinct k-gram shingles with any benchmark
+document. The benchmark side is an eval set, small by nature, so its
+shingle index BROADCASTS and the 100-TB corpus side never shuffles:
+one scan, map-side join, partial-agg count.
+
+Packing: the standard pretraining shape — concatenate documents and
+split at context-window boundaries. A GLOBAL prefix sum would serialize
+on one partition at scale, so packing is per-SHARD (doc_id % n_shards):
+each shard's prefix sum is an independent window, embarrassingly
+parallel, and shard count scales with the cluster. Output is each
+document's (shard, bin, token offsets, crosses-boundary flag).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_spark.datapipe.dedup import SHINGLE_K, with_shingles
+from vector_spark.datapipe.text_stats import tokens_col
+
+
+def contamination_check(corpus: DataFrame, benchmark: DataFrame,
+                        id_col: str = "doc_id", text: str = "text",
+                        k: int = SHINGLE_K, min_shared: int = 2) -> DataFrame:
+    """Per corpus document: distinct k-gram shingles shared with the
+    benchmark set (``n_collisions``) and the contamination flag."""
+    bench_shingles = (with_shingles(benchmark, id_col, text, k)
+                      .select(F.explode("shingles").alias("shingle"))
+                      .distinct())
+    corpus_shingles = (with_shingles(corpus, id_col, text, k)
+                       .select(id_col, F.explode("shingles").alias("shingle")))
+    hits = (corpus_shingles.join(F.broadcast(bench_shingles), "shingle")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("__hits")))  # shingles are per-doc distinct
+    return (corpus.select(id_col).join(hits, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("__hits", F.lit(0)).cast("long")
+                    .alias("n_collisions"))
+            .withColumn("contaminated", F.col("n_collisions") >= min_shared))
+
+
+def pack_concat_chunks(df: DataFrame, id_col: str = "doc_id",
+                       text: str = "text", max_tokens: int = 512,
+                       n_shards: int = 32) -> DataFrame:
+    """Concat-and-chunk packing within shards: each document gets its
+    token span in the shard's concatenated stream, the context-window
+    bin its span starts in, and whether it straddles a boundary (i.e.
+    would be split across two windows)."""
+    out = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        F.size(tokens_col(text)).cast("long").alias("n_tokens"))
+    w = Window.partitionBy("shard").orderBy(id_col)
+    out = out.withColumn("end_off", F.sum("n_tokens").over(w))
+    out = out.withColumn("start_off", F.col("end_off") - F.col("n_tokens"))
+    bin_start = F.floor(F.col("start_off") / max_tokens)
+    last_tok = F.greatest(F.col("end_off") - 1, F.col("start_off"))
+    return out.select(
+        id_col, "shard", "n_tokens", "start_off",
+        bin_start.cast("long").alias("bin"),
+        (F.floor(last_tok / max_tokens) != bin_start).alias("crosses_boundary"))

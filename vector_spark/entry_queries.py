@@ -1674,6 +1674,30 @@ def q_ann_ivf(spark, sf_dir):
     return df.select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
 
 
+def q_text_contamination(spark, sf_dir):
+    """Benchmark-contamination check (datapipe/packing.py; the published
+    n-gram collision methodology): corpus docs sharing >= 2 distinct
+    3-gram shingles with the benchmark subset (doc_id % 100 == 0 stands
+    in for an eval set) flag as contaminated. The benchmark shingle
+    index broadcasts — the corpus side never shuffles."""
+    from vector_spark.datapipe.packing import contamination_check
+
+    docs = _documents(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 100 == 0)
+    return contamination_check(docs, bench, min_shared=2)
+
+
+def q_text_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (datapipe/packing.py): token
+    spans, context-window bin, and boundary-straddle flag, packed within
+    doc_id%32 shards so prefix sums stay per-shard (no global-order
+    bottleneck at 100 TB)."""
+    from vector_spark.datapipe.packing import pack_concat_chunks
+
+    return pack_concat_chunks(_documents(spark, sf_dir), max_tokens=512,
+                              n_shards=32)
+
+
 def q_media_features(spark, sf_dir):
     m = with_media(_documents(spark, sf_dir))
     return (media_byte_features(m)
@@ -1714,6 +1738,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "ann_brute_topk": q_ann_brute,
     "ann_ivf_topk": q_ann_ivf,
+    "text_contamination": q_text_contamination,
+    "text_pack_sequences": q_text_pack_sequences,
     "media_byte_features": q_media_features,
     "media_decode": q_media_decode,
     "tag_cardinality_bloom": q_cardinality_bloom,
@@ -1810,6 +1836,7 @@ _R4_FRONT = [
     "media_decode", "avro_roundtrip", "lz4_roundtrip", "decode_vrl",
     "enrich_mmdb_v6", "parse_native_proto", "cef_roundtrip",
     "snappy_roundtrip", "parse_cbor", "parse_proto", "parse_dnstap",
+    "text_contamination", "text_pack_sequences",
     # (b) last checked in r02
     "throttle_rate_limit", "window_context_grab", "multiline_stitch",
     "log_to_metric", "metric_to_log", "agg_modes_hourly", "agg_diff",
@@ -2718,6 +2745,10 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
     o["ann_ivf_topk"] = dp_oracle.ann_topk_sql(
         k=5, query_mod=25, centroids=_ivf_centroids(_canon_dir(sf), "ann"), nprobe=2)
     o["media_byte_features"] = dp_oracle.media_features_sql()
+    o["text_contamination"] = dp_oracle.contamination_sql(
+        bench_mod=100, min_shared=2)
+    o["text_pack_sequences"] = dp_oracle.pack_chunks_sql(
+        max_tokens=512, n_shards=32)
     o["media_decode"] = dp_oracle.media_decode_sql()
 
     return o
