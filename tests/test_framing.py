@@ -1,0 +1,72 @@
+"""Framing methods (functions/framing.py) vs the reference's framing
+semantics: roundtrips for every framer, malformed-stream NULL contract,
+and the composed varint + native-proto vector-to-vector stream read."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.functions import framing as fr
+
+FRAMES = [b"hello", b"", b"\x00\xffbinary", b"x" * 300]
+
+
+@pytest.mark.parametrize("split,join", [
+    (fr.octet_split, fr.octet_join),
+    (fr.varint_split, fr.varint_join),
+    (fr.fixed_split, fr.fixed_join),
+])
+def test_framer_roundtrips(split, join):
+    assert split(join(FRAMES)) == FRAMES
+    assert split(b"") == []
+
+
+def test_octet_counting_rfc6587_example():
+    # RFC 6587 §3.4.1 shape: "<len> SP <msg>", lengths in decimal ASCII
+    stream = b"8 <34>1 hi13 <165>1 second"
+    assert fr.octet_split(stream) == [b"<34>1 hi", b"<165>1 second"]
+    # messages containing digits+spaces must not confuse the scan
+    frames = [b"5 fake frame", b"10 x"]
+    assert fr.octet_split(fr.octet_join(frames)) == frames
+
+
+def test_spark_framers_and_null_contract(spark):
+    good = fr.varint_join(FRAMES)
+    df = spark.createDataFrame(
+        [(good,), (b"\x05abc",), (None,)], "stream binary")  # frame truncated
+    rows = df.select(fr.frame_varint(F.col("stream")).alias("f")).collect()
+    assert [bytes(x) for x in rows[0]["f"]] == FRAMES
+    # truncated stream still yields the declared bytes (slice semantics);
+    # a malformed VARINT (runs past end) -> NULL
+    bad = df.select(fr.frame_varint(F.lit(b"\xff")).alias("f")).first()
+    assert bad["f"] is None
+    assert rows[2]["f"] is None
+
+
+def test_newline_and_character_framing(spark):
+    df = spark.createDataFrame([("a\nb\nc\n",), ("one|two|",)],
+                               "s string")
+    out = df.select(fr.frame_newline(F.col("s")).alias("nl"),
+                    fr.frame_character(F.col("s"), "|").alias("ch")).collect()
+    assert out[0]["nl"] == ["a", "b", "c"]
+    assert out[1]["ch"] == ["one", "two"]
+
+
+def test_varint_framed_native_proto_stream(spark):
+    """The vector-to-vector wire: varint-framed EventWrapper stream ->
+    frames explode -> native proto decode — counts and fields exact."""
+    from vector_spark.functions.native_proto import (encode_log_event,
+                                                     encode_metric_event,
+                                                     parse_native_proto)
+
+    events = [encode_log_event({"message": f"m{i}"}) for i in range(3)]
+    events.append(encode_metric_event("t", "incremental", 7.0, "counter"))
+    stream = fr.varint_join(events)
+    df = spark.createDataFrame([(stream,)], "stream binary")
+    frames = df.select(
+        F.explode(fr.frame_varint(F.col("stream"))).alias("payload_pb"))
+    out = parse_native_proto(frames).collect()
+    assert len(out) == 4
+    kinds = sorted(r["event_type"] for r in out)
+    assert kinds == ["log", "log", "log", "metric"]
+    m = [r for r in out if r["event_type"] == "metric"][0]
+    assert m["metric_name"] == "t" and m["metric_value"] == 7.0

@@ -1027,6 +1027,33 @@ def q_parse_native_proto(spark, sf_dir):
         "metric_name", "metric_kind", "metric_value", "metric_value_type")
 
 
+def q_framed_native_stream(spark, sf_dir):
+    """Varint-framed native protobuf STREAM decode (functions/framing.py
+    + native_proto.py; reference framing/length_delimited.rs varint mode
+    — the actual vector-to-vector wire): each row carries a framed
+    stream of a log event + a counter metric; frames explode JVM-side
+    and decode to the shared native-codec columns. Oracle = the same
+    2-events-per-turn derivation as the native codecs'."""
+    from vector_spark.functions.framing import (encode_native_stream_col,
+                                                frame_varint)
+    from vector_spark.functions.native_proto import parse_native_proto
+
+    t = _transcripts(spark, sf_dir)
+    enc = t.select(
+        "conv_id", "turn_idx",
+        encode_native_stream_col(
+            F.col("text"), F.col("turn_idx").cast("double")).alias("stream"))
+    frames = enc.select(
+        "conv_id", "turn_idx",
+        F.posexplode(frame_varint(F.col("stream"))).alias("i", "payload_pb"))
+    p = parse_native_proto(frames)
+    return p.select(
+        "conv_id", "turn_idx", F.col("i").cast("long").alias("i"),
+        "event_type",
+        F.get_json_object("payload", "$.message").alias("log_message"),
+        "metric_name", "metric_kind", "metric_value", "metric_value_type")
+
+
 def q_ddsearch_filter(spark, sf_dir):
     """Datadog-search syntax condition over the parsed stream
     (functions/ddsearch.py; reference src/conditions/datadog_search.rs):
@@ -1766,6 +1793,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "enrich_mmdb_v6": q_enrich_mmdb_v6,
     "parse_native_json": q_parse_native_json,
     "parse_native_proto": q_parse_native_proto,
+    "framed_native_stream": q_framed_native_stream,
     "ddsearch_filter": q_ddsearch_filter,
     "parse_key_value_roundtrip": q_parse_key_value,
     "remap_dropped_port": q_remap_dropped,
@@ -1836,7 +1864,7 @@ _R4_FRONT = [
     "media_decode", "avro_roundtrip", "lz4_roundtrip", "decode_vrl",
     "enrich_mmdb_v6", "parse_native_proto", "cef_roundtrip",
     "snappy_roundtrip", "parse_cbor", "parse_proto", "parse_dnstap",
-    "text_contamination", "text_pack_sequences",
+    "text_contamination", "text_pack_sequences", "framed_native_stream",
     # (b) last checked in r02
     "throttle_rate_limit", "window_context_grab", "multiline_stitch",
     "log_to_metric", "metric_to_log", "agg_modes_hourly", "agg_diff",
@@ -2359,6 +2387,16 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
     # the proto twin decodes the same events to the same columns — one
     # oracle covers both codecs, so they cross-check each other
     o["parse_native_proto"] = o["parse_native_json"]
+    o["framed_native_stream"] = f"""SELECT conv_id, turn_idx,
+             CAST(i AS BIGINT) AS i,
+             CASE i WHEN 0 THEN 'log' ELSE 'metric' END AS event_type,
+             CASE i WHEN 0 THEN text END AS log_message,
+             CASE i WHEN 1 THEN 'turns_total' END AS metric_name,
+             CASE i WHEN 1 THEN 'incremental' END AS metric_kind,
+             CASE i WHEN 1 THEN CAST(turn_idx AS DOUBLE) END AS metric_value,
+             CASE i WHEN 1 THEN 'counter' END AS metric_value_type
+      FROM read_parquet('{tp}')
+      CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1) _f"""
 
     _mm_ip = ("CASE turn_idx % 4 WHEN 0 THEN '10.1.' WHEN 1 THEN '10.200.'"
               " WHEN 2 THEN '192.168.' ELSE '172.30.' END"
