@@ -1876,9 +1876,10 @@ _R4_FRONT = [
     "parse_syslog3164", "syslog_encode_roundtrip", "parse_gelf_roundtrip",
     "reduce_merge_strategies", "log_to_metric_gauge", "log_to_metric_set",
     "log_to_metric_all", "trace_to_log", "sample_key_exclude",
-    # (c) r03-green but code-touched this round
-    "enrich_mmdb_geoip", "parse_influxdb", "memory_feedback_lookup",
-    "parse_native_json", "media_byte_features", "vrl_codec_hash_funcs",
+    # (c) r03-green but code-touched this round, most-at-risk first (the
+    # 50-query window may truncate the tail of this group)
+    "memory_feedback_lookup", "enrich_mmdb_geoip", "parse_influxdb",
+    "vrl_codec_hash_funcs", "parse_native_json", "media_byte_features",
     "vrl_shape_text_funcs", "vrl_net_crypto_funcs", "pipeline_sink_counts",
     "parse_classify",
 ]
