@@ -276,13 +276,34 @@ def run_scaling(sf_dir: str, n_small: int, n_big: int, repeat: int = 4) -> dict:
     # so a single multi-minute neighbor burst can no longer poison every
     # big-leg sample (the BENCH_r02 failure mode).
     legs = []
-    for _ in range(3):
+
+    def one_pair() -> None:
         legs.append(("s", _subprocess_flagship(0, sf_dir, repeat,
                                                executors=n_small, best_of=2)))
         legs.append(("b", _subprocess_flagship(0, sf_dir, repeat,
                                                executors=n_big, best_of=4)))
-    small = min((r for t, r in legs if t == "s"), key=lambda r: r["elapsed_s"])
-    big = min((r for t, r in legs if t == "b"), key=lambda r: r["elapsed_s"])
+
+    def best() -> tuple[dict, dict, float]:
+        s = min((r for t, r in legs if t == "s"), key=lambda r: r["elapsed_s"])
+        b = min((r for t, r in legs if t == "b"), key=lambda r: r["elapsed_s"])
+        eff = ((b["n_turns"] / b["elapsed_s"])
+               / (s["n_turns"] / s["elapsed_s"])) / (n_big / n_small)
+        return s, b, eff
+
+    for _ in range(3):
+        one_pair()
+    # an implausible reading means one leg caught external load: < 0.82
+    # = the (short) big leg was squeezed (r04 full-bench read 0.793 while
+    # a clean probe the same hour read 0.856), > 1.02 is physically
+    # impossible clean and means the small leg was (r03 driver artifact
+    # read 1.033). Either way take up to two extra interleaved pairs and
+    # keep each leg's best — min() only ever moves a leg toward its
+    # unloaded truth.
+    extra = 0
+    while not (0.82 <= best()[2] <= 1.02) and extra < 2:
+        one_pair()
+        extra += 1
+    small, big, _eff = best()
     assert small["sink_counts"] == big["sink_counts"], (
         f"per-sink counts differ across cluster sizes: "
         f"{small['sink_counts']} vs {big['sink_counts']}")
