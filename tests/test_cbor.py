@@ -1,0 +1,70 @@
+"""CBOR codec (functions/cbor_codec.py) vs RFC 8949 appendix-A test
+vectors, indefinite-length forms, and encode/decode closure."""
+
+import math
+
+import pytest
+
+from vector_spark.functions.cbor_codec import cbor_decode, cbor_encode
+
+# RFC 8949 appendix A (hex, expected) — the subset within our type scope
+RFC_VECTORS = [
+    ("00", 0), ("01", 1), ("0a", 10), ("17", 23), ("1818", 24),
+    ("1819", 25), ("1864", 100), ("1903e8", 1000),
+    ("1a000f4240", 1000000), ("1b000000e8d4a51000", 1000000000000),
+    ("20", -1), ("29", -10), ("3863", -100), ("3903e7", -1000),
+    ("f4", False), ("f5", True), ("f6", None), ("f7", None),  # undefined
+    ("f90000", 0.0), ("f93c00", 1.0), ("fb3ff199999999999a", 1.1),
+    ("f93e00", 1.5), ("f97bff", 65504.0), ("fa47c35000", 100000.0),
+    ("fa7f7fffff", 3.4028234663852886e+38),
+    ("f90001", 5.960464477539063e-08), ("f90400", 6.103515625e-05),
+    ("f9c400", -4.0), ("fbc010666666666666", -4.1),
+    ("60", ""), ("6161", "a"), ("6449455446", "IETF"),
+    ("62225c", "\"\\"), ("62c3bc", "ü"), ("63e6b0b4", "水"),
+    ("40", b""), ("4401020304", b"\x01\x02\x03\x04"),
+    ("80", []), ("83010203", [1, 2, 3]),
+    ("8301820203820405", [1, [2, 3], [4, 5]]),
+    ("98190102030405060708090a0b0c0d0e0f101112131415161718181819",
+     list(range(1, 26))),
+    ("a0", {}), ("a201020304", {1: 2, 3: 4}),
+    ("a26161016162820203", {"a": 1, "b": [2, 3]}),
+    ("826161a161626163", ["a", {"b": "c"}]),
+    # indefinite-length forms
+    ("5f42010243030405ff", b"\x01\x02\x03\x04\x05"),
+    ("7f657374726561646d696e67ff", "streaming"),
+    ("9fff", []), ("9f018202039f0405ffff", [1, [2, 3], [4, 5]]),
+    ("9f01820203820405ff", [1, [2, 3], [4, 5]]),
+    ("bf61610161629f0203ffff", {"a": 1, "b": [2, 3]}),
+    ("bf6346756ef563416d7421ff", {"Fun": True, "Amt": -2}),
+    # tags unwrap to their content (the cue returns plain values)
+    ("c074323031332d30332d32315432303a30343a30305a",
+     "2013-03-21T20:04:00Z"),
+    ("c11a514b67b0", 1363896240),
+]
+
+
+@pytest.mark.parametrize("hx,expected", RFC_VECTORS)
+def test_rfc8949_appendix_a_vector(hx, expected):
+    got = cbor_decode(bytes.fromhex(hx))
+    if isinstance(expected, float):
+        assert got == pytest.approx(expected, rel=0, abs=0)
+    else:
+        assert got == expected
+
+
+def test_rfc8949_special_floats():
+    assert cbor_decode(bytes.fromhex("f97c00")) == float("inf")
+    assert cbor_decode(bytes.fromhex("f9fc00")) == float("-inf")
+    assert math.isnan(cbor_decode(bytes.fromhex("f97e00")))
+
+
+def test_encode_decode_closure():
+    for v in ({"k": [1, -5, 2.5, None, True, "x", b"\x00\xff"]},
+              [], {}, 2 ** 40, -(2 ** 40), "héllo", 1.5,
+              [[[["deep"]]]], {"a": {"b": {"c": 1}}}):
+        assert cbor_decode(cbor_encode(v)) == v
+
+
+def test_trailing_bytes_rejected():
+    with pytest.raises(ValueError, match="trailing"):
+        cbor_decode(bytes.fromhex("01") + b"\x02")
