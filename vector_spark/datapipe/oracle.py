@@ -326,8 +326,11 @@ def pack_chunks_sql(max_tokens: int = 512, n_shards: int = 32) -> str:
                CAST(len({toks}) AS BIGINT) AS n_tokens
         FROM documents),
       c AS (SELECT doc_id, shard, n_tokens,
-                   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                                       ROWS UNBOUNDED PRECEDING) AS end_off
+                   -- DuckDB widens windowed sum to DECIMAL (renders 0.0 vs
+                   -- Spark's BIGINT 0 in the driver's value hash) — pin it.
+                   CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                            ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS end_off
             FROM t)
     SELECT doc_id, shard, n_tokens,
            end_off - n_tokens AS start_off,
