@@ -97,3 +97,26 @@ def test_spark_udf_roundtrip_and_fallback(spark):
     # the Arrow fallback, not per-row Python
     plan = dec._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_py_decode_avro_null_payload_yields_null_row(spark):
+    """NULL binary payload (e.g. unmatched side of a left join) must
+    decode to a NULL row like the JVM from_avro path, not TypeError the
+    task (round-4 advice)."""
+    import json as _json
+
+    from vector_spark.functions.avro_codec import (encode_record,
+                                                   parse_schema,
+                                                   py_decode_avro)
+    schema = {"type": "record", "name": "R",
+              "fields": [{"name": "a", "type": "string"},
+                         {"name": "n", "type": "long"}]}
+    good = encode_record(parse_schema(_json.dumps(schema)),
+                         {"a": "x", "n": 7})
+    df = spark.createDataFrame([(good,), (None,)], "payload binary")
+    out = df.select(py_decode_avro(F.col("payload"),
+                                   _json.dumps(schema)).alias("r"))
+    rows = out.collect()
+    assert rows[0]["r"]["a"] == "x" and rows[0]["r"]["n"] == 7
+    assert rows[1]["r"] is None or (rows[1]["r"]["a"] is None
+                                    and rows[1]["r"]["n"] is None)

@@ -93,3 +93,19 @@ def test_cross_check_with_native_json(spark):
                .select(*cols).orderBy("turn_idx").collect())
 
     assert [tuple(r) for r in pb_rows] == [tuple(r) for r in js_rows]
+
+
+def test_log_value_field_preferred_over_dummy_fields():
+    """proto.rs prefers Log.value (field 2) over the deprecated fields
+    map — encoders with a non-object root write dummy fields {'.': null}
+    plus value, which must decode to the value, not the dummy."""
+    # Log { fields={'.' : null}, value="payload" }
+    dummy = np_._len_field(1, np_._len_field(1, b".")
+                           + np_._len_field(2, np_.encode_value(None)))
+    val = np_._len_field(2, np_.encode_value("payload"))
+    wrapper = np_._len_field(1, dummy + val)  # EventWrapper.log
+    assert np_.decode_event_wrapper(wrapper) == {"log": "payload"}
+    # no value -> fields map still wins (legacy encoders)
+    legacy = np_._len_field(1, np_._len_field(
+        1, np_._len_field(1, b"k") + np_._len_field(2, np_.encode_value(7))))
+    assert np_.decode_event_wrapper(legacy) == {"log": {"k": 7}}

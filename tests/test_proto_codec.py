@@ -86,3 +86,16 @@ def test_spark_parse_proto_plan_and_nulls(spark):
     vals = [r["j"] for r in out.collect()]
     assert json.loads(vals[0]) == {"conv_id": "c", "n": 7}
     assert vals[1] is None and vals[2] is None
+
+
+def test_packageless_descriptor_set_resolves():
+    """.desc files without FileDescriptorProto.package are legal — types
+    must register under bare names so lstrip('.')-normalised type_name
+    references resolve (round-4 advice)."""
+    kind = pc._build_enum("Kind", {"LOG": 0, "TRACE": 2})
+    msg = pc._build_message(
+        "P", {"a": (1, pc._T_STRING), "k": (2, pc._T_ENUM, 1, "Kind")})
+    reg = pc.load_descriptor_set(pc.build_descriptor_set("", [msg], [kind]))
+    assert "P" in reg.messages and "Kind" in reg.enums
+    wire = pc._len_field(1, b"x") + pc._key(2, 0) + pc._write_varint(2)
+    assert pc.decode_message(reg, "P", wire) == {"a": "x", "k": "TRACE"}

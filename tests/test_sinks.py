@@ -166,3 +166,19 @@ def test_encode_raw_message(spark, events):
         encode_raw_message(renamed, "message").alias("v")).collect()
     src = [r["text"] for r in events.select("text").collect()]
     assert sorted(r["v"] for r in out) == sorted(src)
+
+
+def test_encode_cef_null_header_renders_empty_position(spark):
+    """A NULL header field must render as an EMPTY pipe position, not be
+    skipped by concat_ws (which would shift later fields left and corrupt
+    the CEF structure) — round-4 advice."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.sinks.encode import encode_cef
+
+    df = spark.createDataFrame([("evt", None)], "name string, ver string")
+    line = df.select(encode_cef(
+        0, "V", "P", F.col("ver"), "id1", F.col("name"), 5).alias("c")
+    ).collect()[0]["c"]
+    assert line == "CEF:0|V|P||id1|evt|5"
+    assert line.count("|") == 6  # 7 header fields -> 6 separators

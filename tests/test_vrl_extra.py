@@ -339,3 +339,38 @@ def test_lz4_cue_examples_byte_exact():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="buf_size"):
         decode_lz4_py(encode_lz4_py(b"y" * 4096), buf_size=16)
+
+
+def test_snappy_lz4_malformed_input_null_contract(spark):
+    """Malformed compressed input must yield NULL (the module's
+    parse-failure contract), not a task-killing exception, and
+    snappy_decompress is bounded by max_size."""
+    import pytest as _pytest
+
+    from vector_spark.functions.codecs import (decode_lz4, decode_snappy,
+                                               snappy_compress,
+                                               snappy_decompress)
+
+    # max_size guard: preamble claims 2 MiB -> rejected at 1 MiB default
+    with _pytest.raises(ValueError, match="max_size"):
+        snappy_decompress(b"\x80\x80\x80\x01" + b"\x00" * 8, max_size=1 << 20)
+    # lying small preamble + big literal also bounded
+    with _pytest.raises(ValueError):
+        snappy_decompress(b"\x05" + snappy_compress(b"x" * 64)[1:],
+                          max_size=4)
+
+    good = snappy_compress(b"ok")
+    sdf = spark.createDataFrame(
+        [(good,), (b"\xff\xfe\xfd\xfc",), (None,)], "payload binary")
+    vals = [r["d"] for r in
+            sdf.select(decode_snappy(F.col("payload")).alias("d")).collect()]
+    assert vals == ["ok", None, None]
+
+    from vector_spark.functions.codecs import encode_lz4_py
+    goodl = encode_lz4_py(b"ok", prepend_size=True)
+    ldf = spark.createDataFrame(
+        [(goodl,), (b"\x01\x02",), (None,)], "payload binary")
+    lvals = [r["d"] for r in
+             ldf.select(decode_lz4(F.col("payload"),
+                                   prepended_size=True).alias("d")).collect()]
+    assert lvals == ["ok", None, None]

@@ -267,9 +267,15 @@ def py_decode_avro(data: Column, json_schema: str,
 
     @F.pandas_udf(out_type)
     def dec(payloads: pd.Series) -> pd.DataFrame:
+        # NULL payload -> NULL row, matching the JVM from_avro path
+        # (e.g. the unmatched side of a left join); bytes(None) would
+        # otherwise TypeError and kill the whole task.
         rows = [decode_record(schema, p, strip_schema_id_prefix)
+                if p is not None else None
                 for p in payloads]
-        return pd.DataFrame({n: [r.get(n) for r in rows] for n in names})
+        return pd.DataFrame(
+            {n: [r.get(n) if r is not None else None for r in rows]
+             for n in names})
 
     return dec(data)
 

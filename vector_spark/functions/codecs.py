@@ -206,11 +206,21 @@ def encode_lz4(s, prepend_size: bool = False):
 
 
 def decode_lz4(s, buf_size: int = 1 << 20, prepended_size: bool = False):
-    """Column function: decode_lz4(col, ...) (decode_lz4.cue)."""
+    """Column function: decode_lz4(col, ...) (decode_lz4.cue).
+    Malformed input -> NULL (the module's parse-failure contract, same
+    as parse_cbor/parse_proto), never a task-killing exception."""
     @pandas_udf(StringType())
     def _dec(v: pd.Series) -> pd.Series:
-        return v.map(lambda x: None if x is None else decode_lz4_py(
-            bytes(x), buf_size, prepended_size).decode())
+        def one(x):
+            if x is None:
+                return None
+            try:
+                return decode_lz4_py(
+                    bytes(x), buf_size, prepended_size).decode()
+            except (ValueError, IndexError, UnicodeDecodeError,
+                    OverflowError):
+                return None
+        return v.map(one)
     return _dec(s)
 
 
@@ -318,8 +328,11 @@ def _write_uvarint(n: int) -> bytes:
             return bytes(out)
 
 
-def snappy_decompress(b: bytes) -> bytes:
+def snappy_decompress(b: bytes, max_size: int = 1 << 20) -> bytes:
     total, i = _read_uvarint(b, 0)
+    if total > max_size:
+        raise ValueError(
+            f"snappy: preamble length {total} exceeds max_size {max_size}")
     out = bytearray()
     n = len(b)
     while i < n:
@@ -333,6 +346,8 @@ def snappy_decompress(b: bytes) -> bytes:
                 ln = int.from_bytes(b[i:i + nb], "little")
                 i += nb
             ln += 1
+            if len(out) + ln > max_size:
+                raise ValueError("snappy: output exceeds max_size")
             out += b[i:i + ln]
             i += ln
             continue
@@ -351,6 +366,8 @@ def snappy_decompress(b: bytes) -> bytes:
         start = len(out) - off
         if off == 0 or start < 0:
             raise ValueError("snappy: invalid copy offset")
+        if len(out) + ln > max_size:
+            raise ValueError("snappy: output exceeds max_size")
         for _ in range(ln):  # byte-wise: copies may overlap themselves
             out.append(out[start])
             start += 1
@@ -419,10 +436,19 @@ def encode_snappy(s):
     return _enc(s)
 
 
-def decode_snappy(s):
-    """Column function: decode_snappy(col) (decode_snappy.cue)."""
+def decode_snappy(s, max_size: int = 1 << 20):
+    """Column function: decode_snappy(col) (decode_snappy.cue).
+    Malformed input -> NULL (module parse-failure contract); output
+    bounded by max_size like lz4_decompress_block."""
     @pandas_udf(StringType())
     def _dec(v: pd.Series) -> pd.Series:
-        return v.map(lambda x: None if x is None else
-                     snappy_decompress(bytes(x)).decode())
+        def one(x):
+            if x is None:
+                return None
+            try:
+                return snappy_decompress(bytes(x), max_size).decode()
+            except (ValueError, IndexError, UnicodeDecodeError,
+                    OverflowError):
+                return None
+        return v.map(one)
     return _dec(s)

@@ -253,12 +253,26 @@ def decode_event_wrapper(b: bytes) -> dict:
     {"trace": {...}}."""
     for f, _wt, v in _iter_fields(bytes(b)):
         if f == 1:
-            return {"log": _decode_fields_map(v)}
+            return {"log": _decode_log(v)}
         if f == 2:
             return {"metric": decode_metric(v)}
         if f == 3:
             return {"trace": _decode_fields_map(v)}
     raise ValueError("native proto: empty EventWrapper")
+
+
+def _decode_log(b: bytes):
+    """Log {fields=1 (deprecated map), value=2}: proto.rs prefers value
+    when present — encoders with a non-object root write dummy fields
+    {'.': null} plus value, so fields alone would decode to the dummy."""
+    fields, value, has_value = {}, None, False
+    for f, _wt, v in _iter_fields(b):
+        if f == 1:
+            k, val = _decode_map_entry(v, decode_value)
+            fields[k] = val
+        elif f == 2:
+            value, has_value = decode_value(v), True
+    return value if has_value else fields
 
 
 def encode_log_event(fields: dict) -> bytes:

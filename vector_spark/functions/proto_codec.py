@@ -91,7 +91,9 @@ def _dec_enum(reg: ProtoRegistry, scope: str, b: bytes) -> None:
                 elif ff == 2:
                     num = vv
             values[num] = sym
-    reg.enums[f"{scope}.{name}"] = values
+    # package-less .desc: scope is '' — register under bare name so
+    # type_name lookups (which lstrip the leading '.') resolve.
+    reg.enums[f"{scope}.{name}" if scope else name] = values
 
 
 def _dec_message(reg: ProtoRegistry, scope: str, b: bytes) -> None:
@@ -126,7 +128,10 @@ def _dec_message(reg: ProtoRegistry, scope: str, b: bytes) -> None:
             for ff, _w, vv in _iter_fields(v):
                 if ff == 7 and vv:
                     is_map_entry = True
-    fq = f"{scope}.{name}"
+    # package-less .desc files (legal, common) have scope '' at top
+    # level — '.Name' would never match the lstrip('.')-normalised
+    # type_name references, so register bare.
+    fq = f"{scope}.{name}" if scope else name
     reg.messages[fq] = fields
     if is_map_entry:
         reg.map_entries.add(fq)
@@ -435,8 +440,9 @@ def _build_enum(name: str, values: dict[str, int]) -> bytes:
 
 def build_descriptor_set(package: str, messages: list[bytes],
                          enums: list[bytes] = ()) -> bytes:
-    file_body = _len_field(1, (package + ".proto").encode())
-    file_body += _len_field(2, package.encode())
+    file_body = _len_field(1, ((package or "nopkg") + ".proto").encode())
+    if package:  # package-less files legally omit FileDescriptorProto.package
+        file_body += _len_field(2, package.encode())
     for mb in messages:
         file_body += _len_field(4, mb)
     for eb in enums:

@@ -123,7 +123,13 @@ def encode_cef(version, device_vendor, device_product, device_version,
     header fields (| and \\ escaped) then sorted `key=value` extensions
     (= and \\ escaped), NULL extension values rendered empty like the
     reference's Value::Null arm."""
-    hdr = [_cef_escape(x if isinstance(x, Column) else F.lit(x), "|")
+    # coalesce each header position to '' — concat_ws silently SKIPS
+    # NULLs, which would shift later fields left and corrupt the pipe
+    # count (cef.rs errors on missing header fields; empty is the
+    # nearest structurally-valid rendering).
+    hdr = [F.coalesce(
+               _cef_escape(x if isinstance(x, Column) else F.lit(x), "|"),
+               F.lit(""))
            for x in (version, device_vendor, device_product, device_version,
                      device_event_class_id, name, severity)]
     line = F.concat(F.lit("CEF:"), F.concat_ws("|", *hdr))
