@@ -289,7 +289,8 @@ def test_parse_cloudwatch_cue_example(spark):
 def test_gated_codecs_raise_actionable():
     import pytest as _pytest
     from vector_spark.functions.codecs import encode_zstd_gated
-    # zstd is the only still-gated compression codec (full entropy coder)
+    # the only zstd gate left (round 5): the full entropy ENCODER;
+    # decode + raw/RLE encode live un-gated in functions/zstd_codec.py
     with _pytest.raises(ImportError, match="install on the cluster"):
         encode_zstd_gated()
 

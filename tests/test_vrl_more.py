@@ -285,9 +285,8 @@ def test_random_seeded_bounds(spark):
 
 
 def test_gated_raise_actionable():
-    # round 4 un-gated parse_cbor / parse_proto / encode_proto /
-    # parse_dnstap (pure-Python RFC 8949 + descriptor-set wire decoders)
-    # and lz4/snappy; zstd remains the only gated codec (entropy coder)
+    # round 5 un-gated decode_zstd too (functions/zstd_codec.py); this
+    # legacy shim still raises for anyone reaching the OLD gate directly
     with pytest.raises(ImportError, match="install on the cluster"):
         M.decode_zstd_gated()
 

@@ -74,7 +74,15 @@ def test_get_env_var_driver_side():
         vn.resolve("get_env_var")("VRL_NAMES_TEST_VAR")
 
 
-def test_gated_names_raise_actionable():
-    for name in ("encode_zstd", "decode_zstd"):
-        with pytest.raises(ImportError):
-            vn.resolve(name)()
+def test_zstd_names_resolve_ungated():
+    # round 5: encode_zstd/decode_zstd resolve to the working pure-
+    # Python codec (functions/zstd_codec.py); only the full entropy
+    # ENCODER remains behind codecs.encode_zstd_gated
+    from vector_spark.functions.codecs import encode_zstd_gated
+    from vector_spark.functions.zstd_codec import (decode_zstd,
+                                                   encode_zstd)
+
+    assert vn.resolve("encode_zstd") is encode_zstd
+    assert vn.resolve("decode_zstd") is decode_zstd
+    with pytest.raises(ImportError):
+        encode_zstd_gated()

@@ -71,9 +71,11 @@ def _gated(name: str, modules: tuple[str, ...]):
 
 
 def encode_zstd_gated(*_a, **_k):
-    """encode_zstd.cue — gated: no zstd binding in the sandbox (the only
-    still-gated compression codec: the zstd format is a full entropy
-    coder, not reimplementable like the lz4/snappy block formats below)."""
+    """The FULL zstd entropy ENCODER (FSE/Huffman compression) — the one
+    remaining zstd gate. Round 5 un-gated everything else: decode_zstd
+    is a complete RFC 8878 pure-Python decoder and encode_zstd emits
+    spec-legal raw/RLE-block frames (functions/zstd_codec.py, cue
+    examples + the reference's .zst fixture byte-verified)."""
     _gated("zstd", ("zstandard", "zstd", "cramjam"))
 
 

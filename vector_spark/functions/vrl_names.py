@@ -24,6 +24,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from vector_spark.functions import codecs as _codecs
+from vector_spark.functions import zstd_codec as _zstd
 from vector_spark.functions import parse as _parse
 from vector_spark.functions import parse_aws as _paws
 from vector_spark.functions import parse_presets as _presets
@@ -189,9 +190,13 @@ VRL_NAMES: dict[str, object] = {
     # DataFrame-level encoders (sink codecs) under their cue names
     "encode_json": _vrl.encode_json_col,
     "encode_key_value": _more.encode_key_value,
-    # zstd stays gated (full entropy coder, binding absent in-sandbox)
-    "encode_zstd": _codecs.encode_zstd_gated,
-    "decode_zstd": _more.decode_zstd_gated,
+    # zstd UN-GATED in round 5: full RFC 8878 pure-Python decoder +
+    # raw/RLE-block encoder (functions/zstd_codec.py; the cue examples
+    # and the reference's tests/data/multipart-zst.log.zst fixture are
+    # byte-verified). Only the full entropy ENCODER remains gated
+    # (codecs.encode_zstd_gated).
+    "encode_zstd": _zstd.encode_zstd,
+    "decode_zstd": _zstd.decode_zstd,
 }
 
 

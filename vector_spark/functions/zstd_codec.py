@@ -1,0 +1,579 @@
+"""Pure-Python Zstandard codec: full RFC 8878 DECODER (FSE + Huffman +
+sequences), plus a spec-legal raw/RLE-block ENCODER.
+
+Reference: VRL ``decode_zstd`` / ``encode_zstd``
+(website/cue/reference/remap/functions/decode_zstd.cue,
+encode_zstd.cue) — the last compression codec gated in round 4
+(functions/codecs.py:73 kept the JVM-library gate for the FULL
+entropy-coding encoder only; see encode_zstd_gated). Implemented from
+the public RFC 8878 specification in the same hand-rolled style as the
+repo's snappy/LZ4/CBOR/proto codecs:
+
+- decoder: frame header, raw/RLE/compressed blocks, literal sections
+  (raw / RLE / Huffman-compressed 1-or-4-stream / treeless-repeat),
+  Huffman tree descriptions (direct 4-bit weights or FSE-compressed
+  interleaved-2-state), sequences with predefined / RLE / FSE-compressed
+  / repeat table modes, the backward bitstream, repeated-offset
+  history, and cross-block table reuse. Content checksums are skipped,
+  dictionaries rejected (DictionaryId unsupported — raise).
+- encoder: raw blocks (and a single RLE block when the input is one
+  repeated byte) inside a standard frame — legal input to ANY
+  conformant decoder. Byte-exact with encode_zstd.cue's example.
+
+The decode_zstd.cue example (a genuinely entropy-coded frame produced
+by the reference toolchain) is the end-to-end parity vector in tests.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StringType
+
+ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+# -- literals-length / match-length code tables (RFC 8878 §3.1.1.3.2.1.1) ---
+
+_LL_BASE = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+            16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024,
+            2048, 4096, 8192, 16384, 32768, 65536]
+_LL_BITS = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12,
+                       13, 14, 15, 16]
+_ML_BASE = list(range(3, 35)) + [35, 37, 39, 41, 43, 47, 51, 59, 67, 83,
+                                 99, 131, 259, 515, 1027, 2051, 4099, 8195,
+                                 16387, 32771, 65539]
+_ML_BITS = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11,
+                       12, 13, 14, 15, 16]
+
+# predefined FSE distributions (RFC 8878 §3.1.1.3.2.2)
+_LL_DEFAULT = ([4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+                2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+                -1, -1, -1, -1], 6)
+_ML_DEFAULT = ([1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+                1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+                -1, -1, -1, -1, -1], 6)
+_OF_DEFAULT = ([1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+                1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1], 5)
+
+
+# -- bit readers -------------------------------------------------------------
+
+class _Fwd:
+    """Forward (little-endian) bit reader — FSE table descriptions."""
+
+    def __init__(self, data: bytes):
+        self.v = int.from_bytes(data, "little")
+        self.n = 8 * len(data)
+        self.pos = 0
+
+    def read(self, nbits: int) -> int:
+        out = (self.v >> self.pos) & ((1 << nbits) - 1)
+        self.pos += nbits
+        return out
+
+    def rewind(self, nbits: int) -> None:
+        self.pos -= nbits
+
+    def bytes_consumed(self) -> int:
+        return (self.pos + 7) // 8
+
+
+class _Back:
+    """Backward bit reader with the 1-bit padding sentinel (RFC 8878
+    §3.1.1.3.2.1.2). Over-reads pad zeros (matching the reference
+    decoder's interleaved-FSE end handling); `remaining` goes negative
+    to signal exhaustion."""
+
+    def __init__(self, data: bytes):
+        if not data or data[-1] == 0:
+            raise ValueError("zstd: corrupted bitstream (missing sentinel)")
+        self.v = int.from_bytes(data, "little")
+        self.remaining = 8 * (len(data) - 1) + data[-1].bit_length() - 1
+
+    def read(self, nbits: int) -> int:
+        self.remaining -= nbits
+        if self.remaining >= 0:
+            return (self.v >> self.remaining) & ((1 << nbits) - 1)
+        # overdraw: low bits pad with zeros
+        avail = nbits + self.remaining
+        if avail <= 0:
+            return 0
+        return ((self.v & ((1 << (self.remaining + nbits)) - 1))
+                << -self.remaining)
+
+
+# -- FSE ---------------------------------------------------------------------
+
+class _FseTable:
+    __slots__ = ("symbols", "nbits", "base", "log")
+
+    def __init__(self, freqs: list[int], log: int):
+        size = 1 << log
+        self.log = log
+        self.symbols = [0] * size
+        self.nbits = [0] * size
+        self.base = [0] * size
+        state_desc = [0] * len(freqs)
+        high = size
+        for s, p in enumerate(freqs):
+            if p == -1:
+                high -= 1
+                self.symbols[high] = s
+                state_desc[s] = 1
+        step = (size >> 1) + (size >> 3) + 3
+        mask = size - 1
+        pos = 0
+        for s, p in enumerate(freqs):
+            if p <= 0:
+                continue
+            state_desc[s] = p
+            for _ in range(p):
+                self.symbols[pos] = s
+                pos = (pos + step) & mask
+                while pos >= high:
+                    pos = (pos + step) & mask
+        if pos != 0:
+            raise ValueError("zstd: FSE table spread did not close")
+        for i in range(size):
+            s = self.symbols[i]
+            nx = state_desc[s]
+            state_desc[s] += 1
+            nb = log - (nx.bit_length() - 1)
+            self.nbits[i] = nb
+            self.base[i] = (nx << nb) - size
+
+    @classmethod
+    def rle(cls, symbol: int) -> "_FseTable":
+        t = cls.__new__(cls)
+        t.log = 0
+        t.symbols, t.nbits, t.base = [symbol], [0], [0]
+        return t
+
+
+def _fse_read_desc(fwd: _Fwd, max_log: int, max_symbs: int) -> _FseTable:
+    """FSE table description, forward bitstream (RFC 8878 §4.1.1)."""
+    log = fwd.read(4) + 5
+    if log > max_log:
+        raise ValueError(f"zstd: FSE accuracy {log} > max {max_log}")
+    remaining = (1 << log) + 1
+    freqs: list[int] = []
+    while remaining > 1 and len(freqs) < max_symbs:
+        bits = remaining.bit_length()
+        val = fwd.read(bits)
+        low_mask = (1 << (bits - 1)) - 1
+        threshold = (1 << bits) - 1 - remaining
+        if (val & low_mask) < threshold:
+            fwd.rewind(1)
+            val &= low_mask
+        elif val > low_mask:
+            val -= threshold
+        proba = val - 1
+        remaining -= -proba if proba < 0 else proba
+        freqs.append(proba)
+        if proba == 0:
+            rep = fwd.read(2)
+            while rep == 3:
+                freqs.extend([0, 0, 0])
+                rep = fwd.read(2)
+            freqs.extend([0] * rep)
+    if remaining != 1:
+        raise ValueError("zstd: corrupted FSE table description")
+    return _FseTable(freqs, log)
+
+
+def _fse_init(t: _FseTable, bs: _Back) -> int:
+    return bs.read(t.log)
+
+
+def _fse_update(t: _FseTable, state: int, bs: _Back) -> int:
+    return t.base[state] + bs.read(t.nbits[state])
+
+
+# -- Huffman -----------------------------------------------------------------
+
+class _HufTable:
+    __slots__ = ("symbols", "nbits", "max_bits")
+
+    def __init__(self, weights: list[int]):
+        total = sum(1 << (w - 1) for w in weights if w > 0)
+        if total == 0:
+            raise ValueError("zstd: empty Huffman weights")
+        max_bits = total.bit_length()
+        left = (1 << max_bits) - total
+        if left & (left - 1):
+            raise ValueError("zstd: invalid Huffman weights (leftover)")
+        weights = weights + [left.bit_length()]  # implied last weight
+        bits = [max_bits + 1 - w if w > 0 else 0 for w in weights]
+        size = 1 << max_bits
+        self.max_bits = max_bits
+        self.symbols = [0] * size
+        self.nbits = [0] * size
+        rank_count = [0] * (max_bits + 1)
+        for b in bits:
+            rank_count[b] += 1
+        rank_idx = [0] * (max_bits + 2)
+        rank_idx[max_bits] = 0
+        for i in range(max_bits, 0, -1):
+            rank_idx[i - 1] = rank_idx[i] + rank_count[i] * (
+                1 << (max_bits - i))
+        for s, b in enumerate(bits):
+            if b == 0:
+                continue
+            code = rank_idx[b]
+            ln = 1 << (max_bits - b)
+            for j in range(ln):
+                self.symbols[code + j] = s
+                self.nbits[code + j] = b
+            rank_idx[b] += ln
+
+
+def _huf_read_weights(data: bytes) -> tuple[list[int], int]:
+    """Huffman tree description -> (weights, bytes consumed)
+    (RFC 8878 §4.2.1)."""
+    hbyte = data[0]
+    if hbyte >= 128:  # direct: 4-bit packed weights
+        n = hbyte - 127
+        nbytes = (n + 1) // 2
+        packed = data[1:1 + nbytes]
+        w = []
+        for i in range(n):
+            b = packed[i // 2]
+            w.append(b >> 4 if i % 2 == 0 else b & 0xF)
+        return w, 1 + nbytes
+    # FSE-compressed weights, interleaved 2 states (RFC 8878 §4.2.1.2)
+    comp = data[1:1 + hbyte]
+    fwd = _Fwd(comp)
+    table = _fse_read_desc(fwd, 6, 256)
+    bs = _Back(comp[fwd.bytes_consumed():])
+    s1 = _fse_init(table, bs)
+    s2 = _fse_init(table, bs)
+    w: list[int] = []
+    # alternate states; a state UPDATE that overdraws the stream ends
+    # the decode after one final peek of the other state (the reference
+    # FSE_decompress tail loop's BIT_DStream_overflow handling)
+    while True:
+        w.append(table.symbols[s1])
+        s1 = _fse_update(table, s1, bs)
+        if bs.remaining < 0:
+            w.append(table.symbols[s2])
+            break
+        w.append(table.symbols[s2])
+        s2 = _fse_update(table, s2, bs)
+        if bs.remaining < 0:
+            w.append(table.symbols[s1])
+            break
+        if len(w) > 255:
+            raise ValueError("zstd: too many Huffman weights")
+    return w, 1 + hbyte
+
+
+def _huf_decode_stream(t: _HufTable, data: bytes, out_len: int) -> bytes:
+    bs = _Back(data)
+    out = bytearray()
+    while len(out) < out_len:
+        idx = bs.read(t.max_bits)
+        # re-credit: lookup peeks max_bits but consumes only nbits
+        bs.remaining += t.max_bits - t.nbits[idx]
+        out.append(t.symbols[idx])
+    return bytes(out)
+
+
+# -- literals section --------------------------------------------------------
+
+def _decode_literals(block: bytes, i: int, prev_huf: _HufTable | None,
+                     ) -> tuple[bytes, int, _HufTable | None]:
+    """-> (literals, next offset, current Huffman table)."""
+    b0 = block[i]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype in (0, 1):  # Raw / RLE
+        if sf in (0, 2):
+            regen, i = b0 >> 3, i + 1
+        elif sf == 1:
+            regen, i = (b0 >> 4) | (block[i + 1] << 4), i + 2
+        else:
+            regen = (b0 >> 4) | (block[i + 1] << 4) | (block[i + 2] << 12)
+            i += 3
+        if ltype == 0:
+            return bytes(block[i:i + regen]), i + regen, prev_huf
+        return bytes([block[i]]) * regen, i + 1, prev_huf
+    # Compressed (2) / Treeless (3)
+    if sf == 0:
+        n_streams = 1
+        v = b0 | (block[i + 1] << 8) | (block[i + 2] << 16)
+        regen = (v >> 4) & 0x3FF
+        comp = (v >> 14) & 0x3FF
+        i += 3
+    else:
+        n_streams = 4
+        if sf == 1:
+            v = b0 | (block[i + 1] << 8) | (block[i + 2] << 16)
+            regen = (v >> 4) & 0x3FF
+            comp = (v >> 14) & 0x3FF
+            i += 3
+        elif sf == 2:
+            v = (b0 | (block[i + 1] << 8) | (block[i + 2] << 16)
+                 | (block[i + 3] << 24))
+            regen = (v >> 4) & 0x3FFF
+            comp = (v >> 18) & 0x3FFF
+            i += 4
+        else:
+            v = (b0 | (block[i + 1] << 8) | (block[i + 2] << 16)
+                 | (block[i + 3] << 24) | (block[i + 4] << 32))
+            regen = (v >> 4) & 0x3FFFF
+            comp = (v >> 22) & 0x3FFFF
+            i += 5
+    section = block[i:i + comp]
+    j = 0
+    if ltype == 2:
+        weights, j = _huf_read_weights(section)
+        huf = _HufTable(weights)
+    else:
+        if prev_huf is None:
+            raise ValueError("zstd: treeless literals with no prior table")
+        huf = prev_huf
+    streams = section[j:]
+    if n_streams == 1:
+        lits = _huf_decode_stream(huf, streams, regen)
+    else:
+        if len(streams) < 6:
+            raise ValueError("zstd: truncated 4-stream jump table")
+        s1 = int.from_bytes(streams[0:2], "little")
+        s2 = int.from_bytes(streams[2:4], "little")
+        s3 = int.from_bytes(streams[4:6], "little")
+        body = streams[6:]
+        part = (regen + 3) // 4
+        sizes = [part, part, part, regen - 3 * part]
+        offs = [0, s1, s1 + s2, s1 + s2 + s3, len(body)]
+        lits = b"".join(
+            _huf_decode_stream(huf, body[offs[k]:offs[k + 1]], sizes[k])
+            for k in range(4))
+    return lits, i + comp, huf
+
+
+# -- sequences ---------------------------------------------------------------
+
+def _seq_table(block: bytes, i: int, mode: int, default, max_symbs: int,
+               max_log: int, prev: _FseTable | None,
+               ) -> tuple[_FseTable, int]:
+    if mode == 0:
+        return _FseTable(*default), i
+    if mode == 1:
+        return _FseTable.rle(block[i]), i + 1
+    if mode == 2:
+        fwd = _Fwd(block[i:])
+        t = _fse_read_desc(fwd, max_log, max_symbs)
+        return t, i + fwd.bytes_consumed()
+    if prev is None:
+        raise ValueError("zstd: repeat sequence table with no prior table")
+    return prev, i
+
+
+def _decode_block(block: bytes, out: bytearray, state: dict,
+                  max_size: int) -> None:
+    lits, i, state["huf"] = _decode_literals(block, 0, state.get("huf"))
+    b0 = block[i]
+    if b0 == 0:
+        n_seq = 0
+        i += 1
+    elif b0 < 128:
+        n_seq, i = b0, i + 1
+    elif b0 < 255:
+        n_seq, i = ((b0 - 128) << 8) + block[i + 1], i + 2
+    else:
+        n_seq = block[i + 1] + (block[i + 2] << 8) + 0x7F00
+        i += 3
+    if n_seq == 0:
+        if len(out) + len(lits) > max_size:
+            raise ValueError("zstd: output exceeds max_size")
+        out += lits
+        return
+    modes = block[i]
+    i += 1
+    ll_t, i = _seq_table(block, i, (modes >> 6) & 3, _LL_DEFAULT, 36, 9,
+                         state.get("ll"))
+    of_t, i = _seq_table(block, i, (modes >> 4) & 3, _OF_DEFAULT, 32, 8,
+                         state.get("of"))
+    ml_t, i = _seq_table(block, i, (modes >> 2) & 3, _ML_DEFAULT, 53, 9,
+                         state.get("ml"))
+    state["ll"], state["of"], state["ml"] = ll_t, of_t, ml_t
+
+    bs = _Back(block[i:])
+    ll_s = _fse_init(ll_t, bs)
+    of_s = _fse_init(of_t, bs)
+    ml_s = _fse_init(ml_t, bs)
+    rep = state["rep"]
+    lpos = 0
+    for seq in range(n_seq):
+        of_code = of_t.symbols[of_s]
+        ml_code = ml_t.symbols[ml_s]
+        ll_code = ll_t.symbols[ll_s]
+        if of_code > 31 or ml_code > 52 or ll_code > 35:
+            raise ValueError("zstd: sequence code out of range")
+        offset_value = (1 << of_code) + (bs.read(of_code) if of_code else 0)
+        ml = _ML_BASE[ml_code] + bs.read(_ML_BITS[ml_code])
+        ll = _LL_BASE[ll_code] + bs.read(_LL_BITS[ll_code])
+
+        if offset_value > 3:
+            offset = offset_value - 3
+            rep[2], rep[1], rep[0] = rep[1], rep[0], offset
+        else:
+            idx = offset_value - 1 + (1 if ll == 0 else 0)
+            if idx == 0:
+                offset = rep[0]
+            elif idx == 1:
+                offset = rep[1]
+                rep[1], rep[0] = rep[0], offset
+            elif idx == 2:
+                offset = rep[2]
+                rep[2], rep[1], rep[0] = rep[1], rep[0], offset
+            else:
+                offset = rep[0] - 1
+                if offset == 0:
+                    raise ValueError("zstd: zero repeated offset")
+                rep[2], rep[1], rep[0] = rep[1], rep[0], offset
+
+        if len(out) + ll + ml > max_size:
+            raise ValueError("zstd: output exceeds max_size")
+        out += lits[lpos:lpos + ll]
+        lpos += ll
+        if offset > len(out):
+            raise ValueError("zstd: offset past frame start")
+        start = len(out) - offset
+        if ml <= offset:
+            out += out[start:start + ml]
+        else:
+            for k in range(ml):  # overlapping copy
+                out.append(out[start + k])
+
+        if seq != n_seq - 1:
+            ll_s = _fse_update(ll_t, ll_s, bs)
+            ml_s = _fse_update(ml_t, ml_s, bs)
+            of_s = _fse_update(of_t, of_s, bs)
+    if len(out) + len(lits) - lpos > max_size:
+        raise ValueError("zstd: output exceeds max_size")
+    out += lits[lpos:]
+
+
+# -- frame -------------------------------------------------------------------
+
+def zstd_decompress(data: bytes, max_size: int = 1 << 27) -> bytes:
+    """Decode one or more concatenated zstd frames; skippable frames
+    (magic 0x184D2A5x) are skipped per spec."""
+    data = bytes(data)
+    if data[:4] != ZSTD_MAGIC:
+        raise ValueError("zstd: bad magic")
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        magic = data[i:i + 4]
+        if (len(magic) == 4 and magic[1:4] == b"\x2a\x4d\x18"
+                and 0x50 <= magic[0] <= 0x5F):  # skippable frame
+            size = int.from_bytes(data[i + 4:i + 8], "little")
+            i += 8 + size
+            continue
+        if magic != ZSTD_MAGIC:
+            raise ValueError("zstd: bad magic")
+        i = _decode_frame(data, i + 4, out, max_size)
+    return bytes(out)
+
+
+def _decode_frame(data: bytes, i: int, out: bytearray,
+                  max_size: int) -> int:
+    fhd = data[i]
+    i += 1
+    single = (fhd >> 5) & 1
+    checksum = (fhd >> 2) & 1
+    did_flag = fhd & 3
+    fcs_flag = fhd >> 6
+    if fhd & 0x08:
+        raise ValueError("zstd: reserved frame-header bit set")
+    if not single:
+        i += 1  # window descriptor
+    if did_flag:
+        raise ValueError("zstd: dictionaries unsupported")
+    fcs_bytes = (1 if single else 0, 2, 4, 8)[fcs_flag]
+    i += fcs_bytes
+
+    state: dict = {"rep": [1, 4, 8]}  # tables + offsets are frame-scoped
+    while True:
+        hdr = int.from_bytes(data[i:i + 3], "little")
+        i += 3
+        last, btype, bsize = hdr & 1, (hdr >> 1) & 3, hdr >> 3
+        if btype == 0:  # Raw
+            if len(out) + bsize > max_size:
+                raise ValueError("zstd: output exceeds max_size")
+            out += data[i:i + bsize]
+            i += bsize
+        elif btype == 1:  # RLE
+            if len(out) + bsize > max_size:
+                raise ValueError("zstd: output exceeds max_size")
+            out += data[i:i + 1] * bsize
+            i += 1
+        elif btype == 2:  # Compressed
+            _decode_block(data[i:i + bsize], out, state, max_size)
+            i += bsize
+        else:
+            raise ValueError("zstd: reserved block type")
+        if last:
+            break
+    if checksum:
+        i += 4  # xxh64 low 32 bits: present but not verified
+    return i
+
+
+def zstd_compress(data: bytes) -> bytes:
+    """Spec-legal frame of raw blocks (RLE when the input is one
+    repeated byte) — readable by any conformant decoder; byte-exact
+    with encode_zstd.cue's example for its input. The full entropy
+    encoder stays gated (codecs.encode_zstd_gated)."""
+    data = bytes(data)
+    # frame header: no flags, window descriptor 0x58 (2 MiB window) —
+    # the exact header the cue example's frame carries
+    head = ZSTD_MAGIC + b"\x00\x58"
+    if data and len(data) >= 2 and data.count(data[0]) == len(data):
+        hdr = (len(data) << 3) | (1 << 1) | 1  # RLE, last
+        return head + hdr.to_bytes(3, "little") + data[:1]
+    if not data:
+        return head + (1).to_bytes(3, "little")  # empty raw last block
+    out = bytearray(head)
+    max_block = 1 << 17  # min(window, 128 KiB)
+    for off in range(0, len(data), max_block):
+        chunk = data[off:off + max_block]
+        last = 1 if off + max_block >= len(data) else 0
+        hdr = (len(chunk) << 3) | last
+        out += hdr.to_bytes(3, "little") + chunk
+    return bytes(out)
+
+
+# -- Spark column functions ---------------------------------------------------
+
+def decode_zstd(c: Column, max_size: int = 1 << 27) -> Column:
+    """decode_zstd.cue, UN-GATED: full RFC 8878 decode; malformed input
+    -> NULL (module parse-failure contract)."""
+    @F.pandas_udf(StringType())
+    def dec(v: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            try:
+                return zstd_decompress(bytes(x), max_size).decode()
+            except (ValueError, IndexError, UnicodeDecodeError,
+                    OverflowError):
+                return None
+        return v.map(one)
+
+    return dec(c)
+
+
+def encode_zstd(c: Column) -> Column:
+    """encode_zstd.cue via the raw/RLE-block encoder (spec-legal,
+    stored-not-entropy-coded; cue example byte-exact)."""
+    @F.pandas_udf(BinaryType())
+    def enc(v: pd.Series) -> pd.Series:
+        return v.map(lambda x: None if x is None else zstd_compress(
+            x.encode() if isinstance(x, str) else bytes(x)))
+
+    return enc(c)
