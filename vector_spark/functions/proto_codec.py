@@ -176,6 +176,16 @@ def load_descriptor_file(path: str) -> ProtoRegistry:
 
 def _scalar(fd: dict, wt: int, v, reg: ProtoRegistry):
     t = fd["type"]
+    # strict wire-type validation (prost behavior): a mismatch means the
+    # payload is NOT this message type — critical for try-in-order
+    # decoders like OTLP's signal detection (otlp_proto.decode_otlp)
+    expect = (_WT_VARINT if t in _VARINT_TYPES
+              else _WT_I64 if t in _I64_TYPES
+              else _WT_I32 if t in _I32_TYPES
+              else _WT_LEN)
+    if wt != expect:
+        raise ValueError(
+            f"proto: wire type {wt} does not match field type {t}")
     if t in (_T_INT64, _T_INT32):
         return _as_int64(v)
     if t in (_T_UINT64, _T_UINT32):
@@ -236,6 +246,9 @@ def decode_message(reg: ProtoRegistry, message_type: str, b: bytes) -> dict:
         name = fd["name"]
         repeated = fd["label"] == _LABEL_REPEATED
         if fd["type"] == _T_MESSAGE:
+            if wt != _WT_LEN:
+                raise ValueError(
+                    f"proto: wire type {wt} for a message-typed field")
             sub = fd["type_name"]
             if sub in reg.map_entries:  # map<k,v> entry message
                 entry_fields = reg.field_map(sub)
