@@ -1,0 +1,144 @@
+"""Chunked-GELF framing (functions/gelf_chunked.py +
+streaming/gelf_stream.py) vs chunked_gelf.rs semantics: reassembly in
+and out of order, unchunked passthrough, gzip/zlib magic-sniff,
+validity rules (header length, total bounds, seq < total, total
+mismatch), duplicate-chunk drop, incomplete-message drop, and the
+streaming timeout-drop."""
+
+import gzip
+import time
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.functions import gelf_chunked as gc
+
+
+def _msgs(spark, datagrams):
+    df = spark.createDataFrame([(bytearray(d),) for d in datagrams],
+                               "payload binary")
+    rows = gc.reassemble_chunked_gelf(df).collect()
+    return sorted(bytes(r["message"]) for r in rows)
+
+
+MID_A = bytes(range(8))
+MID_B = bytes(range(8, 16))
+
+
+def test_reassembles_ordered_and_unordered(spark):
+    # reference two_chunks_message / decode_unordered_chunks
+    chunks = gc.chunk_message(MID_A, b"hello chunked gelf", 3)
+    assert _msgs(spark, chunks) == [b"hello chunked gelf"]
+    assert _msgs(spark, chunks[::-1]) == [b"hello chunked gelf"]
+    # interleaved messages (decode_unordered_messages)
+    c2 = gc.chunk_message(MID_B, b"second message", 2)
+    mixed = [chunks[1], c2[1], chunks[0], c2[0], chunks[2]]
+    assert _msgs(spark, mixed) == sorted([b"hello chunked gelf",
+                                          b"second message"])
+
+
+def test_unchunked_passthrough_and_compression_sniff(spark):
+    plain = b'{"short_message":"hi"}'
+    gz = gzip.compress(plain)
+    zl = zlib.compress(plain)
+    assert _msgs(spark, [plain]) == [plain]
+    # compressed unchunked datagrams inflate (from_magic)
+    assert _msgs(spark, [gz]) == [plain]
+    assert _msgs(spark, [zl]) == [plain]
+    # compressed CHUNKED message: compression applies to the whole
+    # reassembled payload (reference tests compress then chunk)
+    assert _msgs(spark, gc.chunk_message(MID_A, gz, 2)) == [plain]
+
+
+def test_validity_rules_drop_bad_chunks(spark):
+    good = gc.chunk_message(MID_A, b"ok-message", 2)
+    bad = [
+        gc.GELF_MAGIC + MID_B,                      # header < 10 bytes
+        gc.make_chunk(MID_B, 0, 0, b"x"),           # total == 0
+        gc.GELF_MAGIC + MID_B + bytes([0, 200]) + b"x",  # total > 128
+        gc.make_chunk(MID_B, 5, 2, b"x"),           # seq >= total
+    ]
+    assert _msgs(spark, good + bad) == [b"ok-message"]
+
+
+def test_total_mismatch_drops_message(spark):
+    a = gc.make_chunk(MID_A, 0, 2, b"aa")
+    b = gc.make_chunk(MID_A, 1, 3, b"bb")  # disagreeing total
+    assert _msgs(spark, [a, b]) == []
+
+
+def test_duplicate_chunk_ignored_and_incomplete_dropped(spark):
+    c = gc.chunk_message(MID_A, b"0123456789", 2)
+    dup = gc.make_chunk(MID_A, 0, 2, c[0][12:])  # same seq again
+    assert _msgs(spark, [c[0], dup, c[1]]) == [b"0123456789"]
+    # missing chunk 1 -> whole message dropped
+    assert _msgs(spark, [c[0]]) == []
+
+
+def test_corrupt_compressed_payload_null_contract(spark):
+    corrupt = b"\x1f\x8b" + b"\x00" * 10
+    df = spark.createDataFrame([(bytearray(corrupt),)], "payload binary")
+    rows = gc.reassemble_chunked_gelf(df).collect()
+    assert [r["message"] for r in rows] == [None]
+
+
+def test_plan_shape(spark):
+    """Reassembly must be pure JVM until the final inflate hop: one
+    shuffle on msg_id, no BatchEvalPython anywhere."""
+    df = spark.createDataFrame([(bytearray(b"x"),)], "payload binary")
+    plan = gc.reassemble_chunked_gelf(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # the decompress sniff is the only Python hop; the union distributes
+    # its projection into both branches (chunked/unchunked), so it
+    # appears once per branch — still exactly one hop per ROW
+    assert 1 <= plan.count("ArrowEvalPython") <= 2
+
+
+def test_streaming_reassembly_and_timeout(spark, tmp_path):
+    """Chunks arriving across micro-batches assemble once complete; a
+    message left incomplete past the timeout is dropped."""
+    from vector_spark.streaming.gelf_stream import (
+        streaming_reassemble_chunked_gelf)
+
+    c = gc.chunk_message(MID_A, b"stream me", 2)
+    lone = gc.make_chunk(MID_B, 0, 2, b"never-finished")
+    plain = b"unchunked"
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out: list = []
+
+    stream = spark.readStream.schema("payload binary").parquet(str(src))
+    # timeout long enough for the cross-batch completion below, short
+    # enough that the never-completed message's state times out during
+    # the trailing empty batches
+    q = (streaming_reassemble_chunked_gelf(stream, timeout_secs=8.0)
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda bdf, _i: out.extend(bdf.collect()))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="1 second").start())
+    try:
+        spark.createDataFrame([(bytearray(c[0]),), (bytearray(lone),),
+                               (bytearray(plain),)], "payload binary") \
+            .write.mode("append").parquet(str(src))
+        deadline = time.time() + 60
+        while time.time() < deadline and len(out) < 1:
+            time.sleep(0.5)
+        # second chunk lands in a LATER micro-batch, within the timeout
+        spark.createDataFrame([(bytearray(c[1]),)], "payload binary") \
+            .write.mode("append").parquet(str(src))
+        while time.time() < deadline and len(out) < 2:
+            time.sleep(0.5)
+        # trailing empty batches: the 8s processing-time timeout fires
+        # for the never-completed msg_id and drops its state
+        for _ in range(4):
+            spark.createDataFrame([], "payload binary") \
+                .write.mode("append").parquet(str(src))
+            time.sleep(2.5)
+    finally:
+        q.stop()
+
+    msgs = {bytes(r["message"]) for r in out}
+    assert msgs == {b"unchunked", b"stream me"}

@@ -1,0 +1,170 @@
+"""Chunked-GELF framing: UDP datagram reassembly + magic-sniff inflate.
+
+Reference: lib/codecs/src/decoding/framing/chunked_gelf.rs — datagrams
+starting with the GELF magic ``1e 0f`` carry ``msg_id:u64 seq:u8
+total:u8 payload`` (chunked_gelf.rs:337-345); chunks buffer per msg_id
+until all ``total`` arrive, then concatenate in sequence order.
+Validity (chunked_gelf.rs:351-377): header >= 10 bytes, 0 < total <=
+128, seq < total, total consistent across a message's chunks; duplicate
+sequence numbers are ignored (first wins, chunked_gelf.rs:420-428).
+Datagrams WITHOUT the magic are complete messages as-is
+(decode_message, chunked_gelf.rs:455-470). Both paths then magic-sniff
+gzip (``1f 8b``) / zlib (``78``) and inflate (ChunkedGelfDecompression::
+from_magic, chunked_gelf.rs:176-199; constants.rs:1-2).
+
+Spark mapping (batch): header fields are carved JVM-side (substring/
+hex/conv — codegen, no Python), then ONE groupBy(msg_id) reassembles:
+collect_list of (seq, chunk) structs, array_sort, higher-order-function
+duplicate-seq drop and ordered concat — a single shuffle keyed on the
+64-bit msg_id, no Python until the final decompression sniff (one Arrow
+hop, and only because the JVM has no per-value inflate). At 100 TB the
+shuffle carries exactly the chunked bytes once; datagram arrival order
+is irrelevant to the plan.
+
+Batch-vs-reference deltas (documented like dedupe's LRU delta):
+- the reference's per-message timeout (incomplete chunks dropped after
+  5s) has no batch meaning — incomplete messages are simply dropped;
+  the streaming variant (streaming/gelf_stream.py) restores the
+  timeout with applyInPandasWithState.
+- "first chunk wins" for duplicate seqs is arrival-order-dependent;
+  batch has no arrival order, so the tie-break is the deterministic
+  byte-wise minimum (array_sort then keep-first).
+- a total_chunks mismatch errors the offending chunk in the reference;
+  batch drops the whole message (the reference's buffered state ends up
+  discarded by timeout anyway).
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import zlib as _zlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+GELF_MAGIC = b"\x1e\x0f"
+GELF_MAX_TOTAL_CHUNKS = 128  # chunked_gelf.rs:23
+
+
+def is_chunked(p: Column) -> Column:
+    return (F.octet_length(p) >= 2) & (F.substring(p, 1, 2)
+                                       == F.lit(GELF_MAGIC))
+
+
+def sniff_inflate(p) -> bytes | None:
+    """Magic-sniff inflate one payload: gzip / zlib / passthrough;
+    corrupt compressed bytes -> None (module parse-failure contract;
+    the reference errors the frame). Shared by the batch Arrow UDF and
+    the streaming stateful fn (which is already in Python — an extra
+    Arrow hop there trips SPARK-4.1's GenericInternalRow/UnsafeRow cast
+    after applyInPandasWithState)."""
+    if p is None:
+        return None
+    b = bytes(p)
+    try:
+        if b[:2] == b"\x1f\x8b":
+            return _gzip.decompress(b)
+        if b[:1] == b"\x78":
+            return _zlib.decompress(b)
+    except (OSError, _zlib.error, EOFError):
+        return None
+    return b
+
+
+def gelf_decompress(c: Column) -> Column:
+    """Column form of :func:`sniff_inflate` (one Arrow hop)."""
+    @F.pandas_udf("binary")
+    def dec(payloads: pd.Series) -> pd.Series:
+        return payloads.map(sniff_inflate)
+
+    return dec(c)
+
+
+def reassemble_chunked_gelf(df: DataFrame, payload_col: str = "payload",
+                            out_col: str = "message") -> DataFrame:
+    """Datagram column -> one row per complete GELF message (binary,
+    already inflated). Invalid chunks and incomplete/ inconsistent
+    messages are dropped (see module deltas)."""
+    p = F.col(payload_col)
+    chunked = df.filter(is_chunked(p))
+    unchunked = df.filter(~is_chunked(p)).select(p.alias(out_col))
+
+    hdr = chunked.select(
+        F.hex(F.substring(p, 3, 8)).alias("msg_id"),
+        F.conv(F.hex(F.substring(p, 11, 1)), 16, 10).cast("int").alias("seq"),
+        F.conv(F.hex(F.substring(p, 12, 1)), 16, 10).cast("int")
+        .alias("total"),
+        F.expr(f"substring({payload_col}, 13,"
+               f" greatest(octet_length({payload_col}) - 12, 0))")
+        .alias("chunk"),
+        F.octet_length(p).alias("dg_len"))
+    valid = hdr.filter(
+        (F.col("dg_len") >= 12)
+        & (F.col("total") > 0) & (F.col("total") <= GELF_MAX_TOTAL_CHUNKS)
+        & (F.col("seq") < F.col("total")))
+
+    g = valid.groupBy("msg_id").agg(
+        F.array_sort(F.collect_list(F.struct("seq", "chunk"))).alias("pairs"),
+        F.array_distinct(F.collect_list("total")).alias("totals"))
+    # duplicate-seq drop: pairs is seq-sorted, keep the first of each run
+    # (stage `pairs` in its own projection — repo convention, or Catalyst
+    # re-inlines the agg expression per reference)
+    prev_seq = lambda i: F.get(F.col("pairs"), i - 1)["seq"]  # noqa: E731
+    g = g.withColumn("dd", F.filter(
+        "pairs",
+        lambda x, i: (i == F.lit(0)) | ~x["seq"].eqNullSafe(prev_seq(i))))
+    complete = g.select(
+        F.when(
+            (F.size("totals") == 1)
+            & (F.size("dd") == F.element_at("totals", 1)),
+            F.aggregate("dd", F.lit(b""),
+                        lambda acc, x: F.concat(acc, x["chunk"])))
+        .alias(out_col)).filter(F.col(out_col).isNotNull())
+
+    return complete.unionAll(unchunked).select(
+        gelf_decompress(F.col(out_col)).alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# fixture encoders (tests/oracle): the reference test helpers'
+# create_chunk shape (chunked_gelf.rs:569-583)
+# ---------------------------------------------------------------------------
+
+def make_chunk(msg_id: bytes, seq: int, total: int, payload: bytes) -> bytes:
+    assert len(msg_id) == 8
+    return GELF_MAGIC + msg_id + bytes([seq, total]) + payload
+
+
+def chunk_message(msg_id: bytes, message: bytes, n_chunks: int) -> list[bytes]:
+    """Split a message into n_chunks datagrams (last takes the slack)."""
+    step = max(1, (len(message) + n_chunks - 1) // n_chunks)
+    parts = [message[i * step:(i + 1) * step] for i in range(n_chunks)]
+    return [make_chunk(msg_id, i, n_chunks, part)
+            for i, part in enumerate(parts)]
+
+
+def encode_chunked_gelf_col(message: Column, msg_id_hex16: Column,
+                            n_chunks: Column, compression: Column) -> Column:
+    """Fixture: one array<binary> of datagrams per row. compression in
+    ('none','gzip','zlib'); n_chunks == 1 emits a single UNchunked
+    datagram (no magic), like the reference's unchunked_message test."""
+    from vector_spark.functions.codecs import _gzip_bytes
+
+    @F.pandas_udf("array<binary>")
+    def enc(msgs: pd.Series, ids: pd.Series, ns: pd.Series,
+            comps: pd.Series) -> pd.Series:
+        out = []
+        for m, mid, n, comp in zip(msgs, ids, ns, comps):
+            raw = m.encode() if isinstance(m, str) else bytes(m)
+            if comp == "gzip":
+                raw = _gzip_bytes(raw)
+            elif comp == "zlib":
+                raw = _zlib.compress(raw)
+            if int(n) <= 1:
+                out.append([raw])
+            else:
+                out.append(chunk_message(bytes.fromhex(mid), raw, int(n)))
+        return pd.Series(out)
+
+    return enc(message, msg_id_hex16, n_chunks, compression)

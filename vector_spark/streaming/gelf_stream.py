@@ -1,0 +1,127 @@
+"""Streaming chunked-GELF reassembly via applyInPandasWithState.
+
+Reference: lib/codecs/src/decoding/framing/chunked_gelf.rs — the UDP
+decoder buffers chunks per message id and drops messages not completed
+within ``timeout`` (default 5s, chunked_gelf.rs:24, the tokio cleanup
+task at :392-407). The batch path (functions/gelf_chunked.py) has no
+arrival clock, so this is where the timeout semantics live.
+
+Spark mapping: header fields are carved JVM-side (the same codegen
+expressions as the batch path), invalid chunks are filtered before the
+stateful stage, then ``applyInPandasWithState`` keyed on msg_id holds
+(total, seqs, chunks) state with a PROCESSING-time timeout — the
+reference's wall-clock drop. Complete messages emit immediately and
+clear their state; a timeout fires state.remove() (the reference logs
+and discards, chunked_gelf.rs:399-404). Duplicate seqs are ignored
+(first received wins — arrival order IS defined here, unlike batch);
+a total_chunks mismatch skips the offending chunk like the reference's
+per-chunk error.
+
+Unchunked datagrams are folded into the SAME stateful operator as
+synthetic single-chunk messages (key ``U<uuid>``, seq 0, total 1): they
+complete in the micro-batch they arrive in without ever touching the
+state store, and the output maps the synthetic key back to a NULL
+msg_id. One plan, one shuffle, no self-union — a streaming self-union
+of a stateful and a stateless branch over the same source stalls the
+stateful branch's emission (observed on Spark 4.1 local mode), and the
+union buys nothing: the reference's UDP decoder runs every datagram
+through the same path anyway.
+
+State is O(message) per in-flight msg_id and partitioned across
+executors by msg_id — UDP reassembly state for millions of concurrent
+senders spreads evenly (message ids are effectively random u64s).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from vector_spark.functions.gelf_chunked import (GELF_MAX_TOTAL_CHUNKS,
+                                                 is_chunked, sniff_inflate)
+
+OUTPUT_SCHEMA = "msg_id string, message binary"
+STATE_SCHEMA = "total int, seqs array<int>, chunks array<binary>"
+
+
+def _gelf_fn(timeout_ms: int):
+    def fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (msg_id,) = key
+        if state.hasTimedOut:
+            # not fully received within the timeout window: discard
+            # (chunked_gelf.rs:399-404)
+            state.remove()
+            return
+        total, seqs, chunks = (state.get if state.exists
+                               else (None, [], []))
+        seqs, chunks = list(seqs), list(chunks)
+        seen = set(seqs)
+        for pdf in pdfs:
+            for seq, tot, chunk in zip(pdf["seq"], pdf["total"],
+                                       pdf["chunk"]):
+                seq, tot = int(seq), int(tot)
+                if total is None:
+                    total = tot
+                elif tot != total:
+                    continue  # TotalChunksMismatch: skip the chunk
+                if seq in seen:
+                    continue  # duplicate: first received wins
+                seen.add(seq)
+                seqs.append(seq)
+                chunks.append(bytes(chunk))
+        if total is not None and len(seqs) == total:
+            message = b"".join(
+                c for _s, c in sorted(zip(seqs, chunks)))
+            state.remove()
+            # inflate here: the fn is already Python, and a downstream
+            # Arrow UDF hop after applyInPandasWithState dies on a
+            # GenericInternalRow->UnsafeRow cast (Spark 4.1 local)
+            yield pd.DataFrame(
+                [{"msg_id": msg_id, "message": sniff_inflate(message)}])
+        else:
+            state.update((total, seqs, chunks))
+            state.setTimeoutDuration(timeout_ms)
+
+    return fn
+
+
+def streaming_reassemble_chunked_gelf(
+        datagrams: DataFrame, payload_col: str = "payload",
+        timeout_secs: float = 5.0) -> DataFrame:
+    """Streaming datagram DataFrame -> (msg_id, message) rows, message
+    already inflated; msg_id NULL for unchunked datagrams."""
+    p = F.col(payload_col)
+    ch = is_chunked(p)
+    hdr = datagrams.select(
+        F.when(ch, F.hex(F.substring(p, 3, 8)))
+        .otherwise(F.concat(F.lit("U"), F.expr("uuid()"))).alias("msg_id"),
+        F.when(ch, F.conv(F.hex(F.substring(p, 11, 1)), 16, 10).cast("int"))
+        .otherwise(F.lit(0)).alias("seq"),
+        F.when(ch, F.conv(F.hex(F.substring(p, 12, 1)), 16, 10).cast("int"))
+        .otherwise(F.lit(1)).alias("total"),
+        F.when(ch, F.expr(f"substring({payload_col}, 13,"
+                          f" greatest(octet_length({payload_col}) - 12, 0))"))
+        .otherwise(p).alias("chunk"),
+        F.octet_length(p).alias("dg_len"),
+        ch.alias("chunked"))
+    valid = hdr.filter(
+        ~F.col("chunked") | (
+            (F.col("dg_len") >= 12)
+            & (F.col("total") > 0) & (F.col("total") <= GELF_MAX_TOTAL_CHUNKS)
+            & (F.col("seq") < F.col("total"))))
+
+    assembled = valid.groupBy("msg_id").applyInPandasWithState(
+        _gelf_fn(int(timeout_secs * 1000)), OUTPUT_SCHEMA, STATE_SCHEMA,
+        "append", GroupStateTimeout.ProcessingTimeTimeout)
+
+    # synthetic single-chunk keys (hex msg_ids never contain 'U') -> NULL
+    return assembled.select(
+        F.when(F.col("msg_id").startswith("U"),
+               F.lit(None).cast("string"))
+        .otherwise(F.col("msg_id")).alias("msg_id"),
+        "message")
