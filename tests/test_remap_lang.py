@@ -151,3 +151,92 @@ def test_abort_without_message_and_no_abort_noop(spark):
     out2 = remap(df, '.x = .n + 1')
     ports2 = remap_split_aborted(out2, "r")
     assert ports2["dropped"].count() == 0 and ports2["primary"].count() == 2
+
+
+@pytest.fixture(scope="module")
+def ndf(spark):
+    """Nested fixture: struct + array columns."""
+    return spark.createDataFrame(
+        [(1, ("alice", ("hammer", 3), ["x", "y"])),
+         (2, ("bob", ("saw", 7), ["z"])),
+         (3, (None, (None, 0), []))],
+        "id int, event struct<role:string, tool:struct<name:string,"
+        "calls:long>, words:array<string>>")
+
+
+def test_nested_read_and_array_index(ndf):
+    out = _by_id(remap(ndf, """
+        .who = .event.role
+        .tool_name = .event.tool.name
+        .w0 = .event.words[0]
+        .wlast = .event.words[-1]
+    """).collect())
+    assert out[1]["who"] == "alice" and out[1]["tool_name"] == "hammer"
+    assert out[1]["w0"] == "x" and out[1]["wlast"] == "y"
+    assert out[2]["w0"] == "z" and out[3]["w0"] is None
+
+
+def test_nested_missing_path_reads_null(ndf):
+    out = _by_id(remap(ndf, """
+        .a = .event.nope
+        .b = .event.tool.nope
+        .c = .event.tool.name.deeper
+        .d = .absent_root.x
+    """).collect())
+    r = out[1]
+    assert r["a"] is None and r["b"] is None
+    assert r["c"] is None and r["d"] is None
+
+
+def test_nested_write_and_sequential_visibility(ndf):
+    out = _by_id(remap(ndf, """
+        .event.tool.calls = .event.tool.calls * 2
+        .doubled = .event.tool.calls
+        .event.sev = "tagged"
+    """).collect())
+    assert out[1]["event"]["tool"]["calls"] == 6
+    assert out[1]["doubled"] == 6
+    assert out[2]["event"]["sev"] == "tagged"
+
+
+def test_nested_write_creates_structs(ndf):
+    out = _by_id(remap(ndf, '.meta.origin.source = "vector"').collect())
+    assert out[1]["meta"]["origin"]["source"] == "vector"
+
+
+def test_nested_guarded_write_and_del(ndf):
+    out = _by_id(remap(ndf, """
+        if .event.tool.calls > 4 { .event.tool.calls = 0 }
+        del(.event.tool.name)
+    """).collect())
+    assert out[1]["event"]["tool"]["calls"] == 3   # guard false: kept
+    assert out[2]["event"]["tool"]["calls"] == 0   # guard true: zeroed
+    assert "name" not in out[1]["event"]["tool"].asDict()
+    # guarded nested del NULLS the field (documented delta)
+    out2 = _by_id(remap(ndf, """
+        if .id == 1 { del(.event.tool.name) }
+    """).collect())
+    assert out2[1]["event"]["tool"]["name"] is None
+    assert out2[2]["event"]["tool"]["name"] == "saw"
+
+
+def test_array_index_write_terminal_only(ndf):
+    out = _by_id(remap(ndf, '.event.words[0] = "W"').collect())
+    assert out[1]["event"]["words"] == ["W", "y"]
+    assert out[3]["event"]["words"] == []
+    with pytest.raises(ValueError, match="final path segment"):
+        remap(ndf, '.event.words[0].x = 1')
+    with pytest.raises(ValueError, match="array elements"):
+        remap(ndf, 'del(.event.words[0])')
+
+
+def test_nested_single_projection_plan(ndf):
+    """Nested programs must stay one JVM projection — no Python, no
+    extra exchanges."""
+    out = remap(ndf, """
+        .event.tool.calls = .event.tool.calls + 1
+        .w0 = .event.words[0]
+        del(.event.tool.name)
+    """)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan

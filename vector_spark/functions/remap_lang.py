@@ -26,6 +26,23 @@ Grammar:
 Sequential semantics: later statements observe earlier assignments
 (an env of name -> Column threads through compilation); ``if`` guards
 rewrite contained assignments to ``when(cond, new).otherwise(old)``.
+
+Nested paths (round-5 verdict #6): paths are multi-segment with array
+indices — ``.a.b[0].c`` — like the reference's path expressions
+(website/cue/reference/remap/expressions/path.cue). Reads compile to
+``getField`` / ``get``/``element_at`` chains; for roots the program has
+not touched, the input schema is walked so a missing segment reads as
+NULL (VRL's missing-path semantics) instead of failing analysis.
+Writes compile to ``withField`` chains (creating intermediate structs
+when the root or a schema-known-missing segment is absent, as VRL
+object assignment does); the statement guard is pushed into the LEAF
+value (``when(guard, new).otherwise(old_leaf)``) so both branches share
+one struct schema. Deletes of nested fields use ``dropFields``;
+documented deltas: a GUARDED nested del nulls the field rather than
+dropping it (the two branches would otherwise have different struct
+schemas), array-index writes must be the final segment, and
+intermediate segments under a root the program already rewrote are
+assumed to exist.
 """
 
 from __future__ import annotations
@@ -34,6 +51,7 @@ import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StructType
 
 from vector_spark.functions import vrl
 
@@ -42,7 +60,8 @@ _TOKEN_RE = re.compile(
     r"(?P<comment>#[^\n]*)"
     r"|(?P<num>-?\d+(?:\.\d+)?)"
     r"|(?P<str>\"(?:[^\"\\]|\\.)*\")"
-    r"|(?P<path>\.(?:[A-Za-z_][A-Za-z0-9_]*))"
+    r"|(?P<path>\.(?:[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\.(?:[A-Za-z_][A-Za-z0-9_]*)|\[-?\d+\])*)"
     r"|(?P<ident>[A-Za-z_][A-Za-z0-9_]*)"
     r"|(?P<op>==|!=|<=|>=|\|\||&&|\?\?|[!<>(),{}=;+\-*/])"
     r")"
@@ -93,6 +112,16 @@ ABORTED_COL = "__aborted"
 ABORT_MSG_COL = "__abort_message"
 
 
+_SEG_RE = re.compile(r"\.([A-Za-z_][A-Za-z0-9_]*)|\[(-?\d+)\]")
+
+
+def _parse_path(p: str) -> list[tuple[str, object]]:
+    """'.a.b[0]' -> [('f','a'), ('f','b'), ('i',0)]."""
+    return [("f", m.group(1)) if m.group(1) is not None
+            else ("i", int(m.group(2)))
+            for m in _SEG_RE.finditer(p)]
+
+
 class _Tok:
     __slots__ = ("kind", "value")
 
@@ -135,15 +164,22 @@ class RemapProgram:
         # to exist) so syntax errors surface at compile_remap time
         _Compiler(list(toks), src, known=None).program()
 
-    def plan(self, columns) -> tuple[dict[str, Column], list[str]]:
-        key = frozenset(columns)
+    def plan(self, schema) -> tuple[dict[str, Column], list[str]]:
+        if isinstance(schema, StructType):
+            # full schema: nested reads can walk struct/array types so a
+            # missing path segment reads as NULL (VRL missing-path)
+            known = {f.name: f.dataType for f in schema.fields}
+            key = schema.simpleString()
+        else:  # bare column list (types unknown): legacy call shape
+            known = dict.fromkeys(schema)
+            key = frozenset(schema)
         if key not in self._cache:
-            c = _Compiler(list(self._toks), self._src, known=set(columns))
+            c = _Compiler(list(self._toks), self._src, known=known)
             self._cache[key] = c.program()
         return self._cache[key]
 
     def apply(self, df: DataFrame) -> DataFrame:
-        updates, deletes = self.plan(df.columns)
+        updates, deletes = self.plan(df.schema)
         out = df.withColumns(updates) if updates else df
         if deletes:
             out = out.drop(*deletes)
@@ -151,12 +187,19 @@ class RemapProgram:
 
 
 class _Compiler:
-    def __init__(self, toks: list[_Tok], src: str, known: set[str] | None = None):
+    def __init__(self, toks: list[_Tok], src: str,
+                 known: dict | None = None):
         self.toks, self.i, self.src = toks, 0, src
-        self.known = known  # input columns; None = assume all exist
+        # input columns -> dataType (None when only names are known);
+        # known=None means assume every field exists (validation pass)
+        self.known = known
         # env: field -> current Column expr (sequential visibility);
         # deleted fields are tombstoned with None
         self.env: dict[str, Column | None] = {}
+        # nested fields ADDED by this program (root -> dotted paths):
+        # overlays the original schema so a later read of a
+        # program-created field resolves instead of failing analysis
+        self.added: dict[str, set[str]] = {}
         # running abort condition (VRL abort exits the program for the
         # event: later statements are suppressed for aborted rows)
         self.aborted: Column | None = None
@@ -188,6 +231,108 @@ class _Compiler:
         if self.known is not None and name not in self.known:
             return F.lit(None)  # absent field reads as null (VRL)
         return F.col(name)
+
+    def _root_base(self, name: str) -> Column | None:
+        """Current root column for a nested write, None when absent."""
+        cur = self.env.get(name, ...)
+        if cur is None:
+            return None  # deleted root: rebuild from scratch
+        if cur is not ...:
+            return cur
+        if self.known is not None and name not in self.known:
+            return None
+        return F.col(name)
+
+    def _root_dtype(self, name: str):
+        """Schema type of an UNTOUCHED root (None once rewritten or when
+        only column names are known)."""
+        if name in self.env or self.known is None:
+            return None
+        return self.known.get(name)
+
+    def _read_path(self, segs: list) -> Column:
+        root = segs[0][1]
+        col = self._field(root)
+        rest = segs[1:]
+        if not rest:
+            return col
+        if self.env.get(root, ...) is None or (
+                self.known is not None and root not in self.env
+                and root not in self.known):
+            return F.lit(None)  # nested read under an absent/deleted root
+        names_only = (self.known is not None and root in self.known
+                      and self.known.get(root) is None)
+        if self.known is not None and not names_only:
+            # schema walk (original schema + program-added overlay): a
+            # missing segment reads as NULL (VRL), not an analysis
+            # error. Beyond an added prefix the chain is direct — the
+            # program reads what it wrote.
+            dtype = self.known.get(root)
+            added = self.added.get(root, set())
+            dotted: list[str] = []
+            in_added = False
+            for kind, key in rest:
+                if in_added:
+                    break
+                if kind == "f":
+                    dotted.append(key)
+                    if (isinstance(dtype, StructType)
+                            and key in dtype.fieldNames()):
+                        dtype = dtype[key].dataType
+                    elif ".".join(dotted) in added:
+                        in_added = True
+                    else:
+                        return F.lit(None)
+                else:
+                    if isinstance(dtype, ArrayType):
+                        dtype = dtype.elementType
+                    else:
+                        return F.lit(None)
+        for kind, key in rest:
+            if kind == "f":
+                col = col.getField(key)
+            else:
+                # 0-based non-negative (get: NULL out of bounds);
+                # negative = from the end (try_element_at: NULL out of
+                # bounds instead of the ANSI element_at error)
+                col = (F.get(col, key) if key >= 0
+                       else F.try_element_at(col, F.lit(key)))
+        return col
+
+    def _set_nested(self, base: Column | None, dtype, segs: list,
+                    value: Column) -> Column:
+        if not segs:
+            return value
+        kind, key = segs[0]
+        if kind == "i":
+            if len(segs) != 1:
+                raise ValueError(
+                    "remap: array-index writes must be the final path "
+                    "segment (.a.b[0] = v)")
+            if base is None:
+                raise ValueError(
+                    "remap: cannot index-assign into an absent array")
+            if key >= 0:
+                pos = F.lit(key)
+            else:
+                pos = F.size(base) + F.lit(key)
+            return F.transform(
+                base, lambda el, i: F.when(i == pos, value).otherwise(el))
+        sub_base, sub_dtype, key_known_missing = None, None, False
+        if dtype is not None:
+            if isinstance(dtype, StructType) and key in dtype.fieldNames():
+                sub_dtype = dtype[key].dataType
+            else:
+                key_known_missing = True
+        if base is not None and not key_known_missing and len(segs) > 1:
+            sub_base = base.getField(key)
+        inner = self._set_nested(sub_base, sub_dtype, segs[1:], value)
+        if base is None or (dtype is not None
+                            and not isinstance(dtype, StructType)):
+            # absent root / non-object value: VRL assignment replaces it
+            # with a fresh object
+            return F.struct(inner.alias(key))
+        return base.withField(key, inner)
 
     # -- statements -------------------------------------------------------
     def program(self) -> tuple[dict[str, Column], list[str]]:
@@ -259,22 +404,71 @@ class _Compiler:
                 raise ValueError(f"del() takes a field path, got {target!r}")
             self.expect(")")
             self._maybe_semi()
-            name = target.value[1:]
-            if guard is not None:
-                # guarded delete keeps the column, nulls the value
-                self.env[name] = F.when(~guard, self._field(name))
+            segs = _parse_path(target.value)
+            name = segs[0][1]
+            if len(segs) == 1:
+                if guard is not None:
+                    # guarded delete keeps the column, nulls the value
+                    self.env[name] = F.when(~guard, self._field(name))
+                else:
+                    self.env[name] = None
+                return
+            # nested delete
+            if any(k == "i" for k, _ in segs[1:]):
+                raise ValueError("remap: del() of array elements is "
+                                 "unsupported")
+            base = self._root_base(name)
+            if base is None:
+                return  # deleting under an absent root: no-op
+            dtype = self._root_dtype(name)
+            if dtype is not None:
+                d = dtype
+                for _k, key in segs[1:]:
+                    if isinstance(d, StructType) and key in d.fieldNames():
+                        d = d[key].dataType
+                    else:
+                        return  # schema-known missing: no-op
+            if guard is None:
+                dropped = ".".join(key for _k, key in segs[1:])
+                self.env[name] = base.dropFields(dropped)
+                self.added[name] = {
+                    p for p in self.added.get(name, set())
+                    if p != dropped and not p.startswith(dropped + ".")}
             else:
-                self.env[name] = None
+                # documented delta: guarded nested del NULLs the field
+                # (dropping it only on some rows would fork the schema)
+                old = self._read_path(segs)
+                self.env[name] = self._set_nested(
+                    base, dtype, segs[1:], F.when(~guard, old))
             return
         if t.kind == "path":
             self.next()
-            name = t.value[1:]
+            segs = _parse_path(t.value)
+            name = segs[0][1]
             self.expect("=")
             value = self._as_col(self.expr())
             self._maybe_semi()
-            if guard is not None:
-                value = F.when(guard, value).otherwise(self._field(name))
-            self.env[name] = value
+            if len(segs) == 1:
+                if guard is not None:
+                    value = F.when(guard, value).otherwise(self._field(name))
+                self.env[name] = value
+            else:
+                if guard is not None:
+                    # push the guard into the LEAF so both branches share
+                    # one struct schema
+                    value = F.when(guard, value).otherwise(
+                        self._read_path(segs))
+                self.env[name] = self._set_nested(
+                    self._root_base(name), self._root_dtype(name),
+                    segs[1:], value)
+                # overlay registration: later reads of program-created
+                # fields must resolve (see _read_path)
+                dotted: list[str] = []
+                for k, key in segs[1:]:
+                    if k != "f":
+                        break
+                    dotted.append(key)
+                    self.added.setdefault(name, set()).add(".".join(dotted))
             return
         raise ValueError(f"unexpected token {t!r} (expected statement)")
 
@@ -383,7 +577,7 @@ class _Compiler:
             self.expect(")")
             return c
         if t.kind == "path":
-            return self._field(t.value[1:])
+            return self._read_path(_parse_path(t.value))
         if t.kind == "num":
             return float(t.value) if "." in t.value else int(t.value)
         if t.kind == "str":
