@@ -403,6 +403,22 @@ def q_cef_roundtrip(spark, sf_dir):
         F.col("ext_cnt").alias("ext_cnt"))
 
 
+def q_zstd_roundtrip(spark, sf_dir):
+    """encode_zstd -> decode_zstd round trip (functions/zstd_codec.py;
+    encode_zstd.cue example byte-exact, decode_zstd.cue's entropy-coded
+    frame + the reference's tests/data/multipart-zst.log.zst fixture
+    byte-verified in tests — the full RFC 8878 decoder exercised there;
+    this query drives the spec-legal raw/RLE-block encoder through it).
+    Oracle = identity projection."""
+    from vector_spark.functions.zstd_codec import decode_zstd, encode_zstd
+
+    t = _transcripts(spark, sf_dir)
+    enc = t.select("conv_id", "turn_idx",
+                   encode_zstd(F.col("text")).alias("z"))
+    return enc.select("conv_id", "turn_idx",
+                      decode_zstd(F.col("z")).alias("text"))
+
+
 def q_parse_cbor(spark, sf_dir):
     """parse_cbor (functions/cbor_codec.py; parse_cbor.cue, RFC 8949
     appendix-A vectors verified): encode real wire bytes per row, decode
@@ -686,6 +702,41 @@ def q_parse_otlp(spark, sf_dir):
         F.col("log_attrs")["conv_id"].alias("attr_conv"),
         F.col("log_attrs")["turn"].cast("long").alias("attr_turn"),
         "trace_id", "span_id")
+
+
+def q_parse_otlp_proto(spark, sf_dir):
+    """OTLP WIRE-protobuf decode (functions/otlp_proto.py; reference
+    lib/codecs/src/decoding/format/otlp.rs:105-140 — the protobuf-first
+    path, vs q_parse_otlp's OTLP/JSON encoding of the same envelope):
+    each turn encodes a real ExportLogsServiceRequest wire frame, the
+    decoder tries logs/metrics/traces in priority order and tags the
+    winning signal. Oracle = identity derivations from the table."""
+    from vector_spark.functions.otlp_proto import (encode_otlp_logs_col,
+                                                   parse_otlp_proto)
+
+    t = _transcripts(spark, sf_dir)
+    payload = encode_otlp_logs_col(
+        F.col("role"), F.lit("vector-spark"), F.col("text"),
+        F.col("turn_idx").cast("long"),
+        # fixture ts is TIMESTAMP_NTZ; session TZ is UTC so the cast is
+        # identity and matches the oracle's epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000),
+        F.upper(F.col("role")))
+    enc = t.select("conv_id", "turn_idx", payload.alias("payload"))
+    p = enc.withColumn("j", parse_otlp_proto(F.col("payload")))
+    rec = "$.event.resourceLogs[0].scopeLogs[0].logRecords[0]"
+    return p.select(
+        "conv_id", "turn_idx",
+        F.get_json_object("j", "$.signal").alias("signal"),
+        F.get_json_object(
+            "j", "$.event.resourceLogs[0].resource.attributes[0]"
+                 ".value.stringValue").alias("service"),
+        F.get_json_object("j", f"{rec}.body.stringValue").alias("body"),
+        F.get_json_object("j", f"{rec}.attributes[0].value.intValue")
+        .cast("long").alias("turn_n"),
+        F.get_json_object("j", f"{rec}.timeUnixNano")
+        .cast("long").alias("t_ns"),
+        F.get_json_object("j", f"{rec}.severityText").alias("sev"))
 
 
 def q_memory_feedback(spark, sf_dir):
@@ -1054,6 +1105,40 @@ def q_framed_native_stream(spark, sf_dir):
         "metric_name", "metric_kind", "metric_value", "metric_value_type")
 
 
+def q_framed_chunked_gelf(spark, sf_dir):
+    """Chunked-GELF datagram reassembly (functions/gelf_chunked.py;
+    reference framing/chunked_gelf.rs — the last decoding framing
+    method): each turn becomes 1-4 UDP datagrams (magic + msg_id + seq
+    + total header), a third gzip-compressed and a third zlib, shuffled
+    through explode; ONE groupBy(msg_id) reassembles and the magic
+    sniff inflates. The payload embeds the key columns so the oracle is
+    the identity derivation."""
+    from vector_spark.functions.gelf_chunked import (
+        encode_chunked_gelf_col, reassemble_chunked_gelf)
+
+    t = _transcripts(spark, sf_dir)
+    sep = "\x01"
+    payload_txt = F.concat_ws(sep, "conv_id",
+                              F.col("turn_idx").cast("string"), "text")
+    enc = t.select(encode_chunked_gelf_col(
+        payload_txt,
+        F.substring(F.md5(F.concat_ws("|", "conv_id",
+                                      F.col("turn_idx").cast("string"))),
+                    1, 16),
+        (F.col("turn_idx") % 4 + 1).cast("int"),
+        F.when(F.col("turn_idx") % 3 == 0, "none")
+        .when(F.col("turn_idx") % 3 == 1, "gzip")
+        .otherwise("zlib")).alias("dgrams"))
+    datagrams = enc.select(F.explode("dgrams").alias("payload"))
+    msgs = reassemble_chunked_gelf(datagrams)
+    parts = F.split(F.col("message").cast("string"), sep, 3)
+    staged = msgs.select(parts.alias("p"))  # stage: CollapseProject trap
+    return staged.select(
+        F.col("p")[0].alias("conv_id"),
+        F.col("p")[1].cast("int").alias("turn_idx"),
+        F.col("p")[2].alias("text"))
+
+
 def q_ddsearch_filter(spark, sf_dir):
     """Datadog-search syntax condition over the parsed stream
     (functions/ddsearch.py; reference src/conditions/datadog_search.rs):
@@ -1098,6 +1183,41 @@ def q_remap_program(spark, sf_dir):
     """)
     return out.select("conv_id", "turn_idx", "sev", "who", "path_any",
                       "path_hash", F.col("text_len").cast("long").alias("text_len"))
+
+
+def q_remap_nested(spark, sf_dir):
+    """Nested-path remap program (functions/remap_lang.py round-5
+    extension; reference path expressions
+    website/cue/reference/remap/expressions/): multi-segment set with
+    struct creation, a schema-missing read (-> null, VRL semantics),
+    guarded nested writes under if/else, an array-index read, and a
+    nested del — all compiled to one withField/getField projection."""
+    from vector_spark.functions.remap_lang import remap
+
+    t = _transcripts(spark, sf_dir)
+    staged = t.select(
+        "conv_id", "turn_idx",
+        F.struct(
+            F.col("role").alias("role"),
+            F.struct(F.col("tool").alias("name"),
+                     F.col("turn_idx").cast("long").alias("calls"))
+            .alias("tool"),
+            F.split(F.col("text"), " ").alias("words")).alias("event"))
+    out = remap(staged, """
+        .missing = .event.nope.deep
+        .first_word = .event.words[0]
+        .event.tool.calls = .event.tool.calls * 2
+        if .event.role == "assistant" { .event.sev = "bot" }
+        else { .event.sev = "human" }
+        if .turn_idx < 5 { .event.tool.calls = 0 }
+        del(.event.tool.name)
+    """)
+    return out.select(
+        "conv_id", "turn_idx",
+        F.col("event.sev").alias("sev"),
+        F.col("event.tool.calls").cast("long").alias("calls"),
+        F.col("first_word"),
+        F.col("missing").cast("string").alias("missing"))
 
 
 def q_agg_histogram(spark, sf_dir):
@@ -1775,6 +1895,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decode_vrl": q_decode_vrl,
     "cef_roundtrip": q_cef_roundtrip,
     "snappy_roundtrip": q_snappy_roundtrip,
+    "zstd_roundtrip": q_zstd_roundtrip,
     "parse_cbor": q_parse_cbor,
     "parse_proto": q_parse_proto,
     "parse_dnstap": q_parse_dnstap,
@@ -1782,6 +1903,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_aws_alb": q_parse_aws_alb,
     "parse_aws_vpc_flow": q_parse_aws_vpc_flow,
     "parse_otlp": q_parse_otlp,
+    "parse_otlp_proto": q_parse_otlp_proto,
     "memory_feedback_lookup": q_memory_feedback,
     "parse_linux_auth": q_parse_linux_auth,
     "parse_cloudwatch": q_parse_cloudwatch,
@@ -1794,10 +1916,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_native_json": q_parse_native_json,
     "parse_native_proto": q_parse_native_proto,
     "framed_native_stream": q_framed_native_stream,
+    "framed_chunked_gelf": q_framed_chunked_gelf,
     "ddsearch_filter": q_ddsearch_filter,
     "parse_key_value_roundtrip": q_parse_key_value,
     "remap_dropped_port": q_remap_dropped,
     "remap_program": q_remap_program,
+    "remap_nested_paths": q_remap_nested,
     "sample_ratio": q_sample_ratio,
     # -- driver-green in r01+r02: hold the back of the window --
     "pipeline_sink_counts": q_sink_counts,
@@ -2139,6 +2263,15 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
              CAST(length(text) AS BIGINT) AS text_len
       FROM parsed"""
 
+    o["remap_nested_paths"] = f"""SELECT conv_id, turn_idx,
+             CASE WHEN role = 'assistant' THEN 'bot'
+                  ELSE 'human' END AS sev,
+             CASE WHEN turn_idx < 5 THEN 0
+                  ELSE CAST(turn_idx AS BIGINT) * 2 END AS calls,
+             split_part(text, ' ', 1) AS first_word,
+             CAST(NULL AS VARCHAR) AS missing
+      FROM read_parquet('{tp}')"""
+
     # NB: DuckDB sum(INTEGER) returns HUGEINT which lands in pandas as
     # float64 — cast to BIGINT so the value hash sees int64 on both sides
     # (this was the round-1 agg_histogram hash mismatch).
@@ -2177,6 +2310,7 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
     o["lz4_roundtrip"] = f"""SELECT conv_id, turn_idx, text
       FROM read_parquet('{tp}')"""
     o["snappy_roundtrip"] = o["lz4_roundtrip"]
+    o["zstd_roundtrip"] = o["lz4_roundtrip"]
     o["parse_cbor"] = f"""SELECT conv_id, turn_idx, role, tool, text,
              CAST(turn_idx AS BIGINT) AS n
       FROM read_parquet('{tp}')"""
@@ -2398,6 +2532,8 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
              CASE i WHEN 1 THEN 'counter' END AS metric_value_type
       FROM read_parquet('{tp}')
       CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1) _f"""
+    o["framed_chunked_gelf"] = f"""SELECT conv_id, turn_idx, text
+      FROM read_parquet('{tp}')"""
 
     _mm_ip = ("CASE turn_idx % 4 WHEN 0 THEN '10.1.' WHEN 1 THEN '10.200.'"
               " WHEN 2 THEN '192.168.' ELSE '172.30.' END"
@@ -2454,6 +2590,13 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
              substring(md5(conv_id), 1, 16) AS span_id
       FROM read_parquet('{tp}')
       CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1) _r"""
+
+    o["parse_otlp_proto"] = f"""SELECT conv_id, turn_idx,
+             'logs' AS signal, role AS service, text AS body,
+             CAST(turn_idx AS BIGINT) AS turn_n,
+             CAST(epoch_us(ts) * 1000 AS BIGINT) AS t_ns,
+             upper(role) AS sev
+      FROM read_parquet('{tp}')"""
 
     o["parse_key_value_roundtrip"] = f"""SELECT conv_id, turn_idx,
              role AS kv_role, tool AS kv_tool, turn_idx AS kv_turn,
