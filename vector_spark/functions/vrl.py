@@ -366,23 +366,71 @@ def ip_subnet(ip, prefix: int) -> Column:
 # -- parse_user_agent (parse_user_agent.cue; uap-core-aligned tables) ---
 #
 # First-match regex tables in uap-core's priority order (the ordering IS
-# the semantics: OPR/Samsung/Edge outrank Chrome because their UAs embed
-# a Chrome token; CriOS/FxiOS outrank Safari; "Mobile" variants outrank
-# their desktop families; MSIE before Trident/rv). Families and the
-# Windows NT marketing-version map follow the public uap-core
-# regexes.yaml conventions. Delta vs the reference's bundled database:
-# model-level device strings collapse to coarse families, and the long
-# tail of exotic browsers falls through to 'Other'.
+# the semantics: bots outrank every browser family because evergreen
+# Googlebot UAs embed a Chrome token; in-app webviews
+# (WeChat/Facebook/Silk/...) and named Chromium forks
+# (Samsung/Edge/Whale/...) outrank Chrome for the same reason; gecko
+# forks outrank Firefox; CriOS/FxiOS outrank Safari; "Mobile" variants
+# outrank their desktop families; Opera Mini > Opera Mobile > Opera;
+# MSIE before Trident/rv). Families and the Windows NT
+# marketing-version map follow the public uap-core regexes.yaml
+# conventions (~75 browser families here). Delta vs the reference's
+# bundled database: model-level device strings collapse to coarse
+# families, and the long tail of exotic browsers falls to 'Other'.
 
 _UA_BROWSERS = [
+    # -- bots FIRST (uap-core order: evergreen Googlebot UAs embed a
+    #    Chrome token, so bots must outrank every browser family)
+    ("Googlebot", r"Googlebot(?:-Image|-News|-Video)?/(\d+[\d.]*)"),
+    ("bingbot", r"bingbot/(\d+[\d.]*)"),
+    ("YandexBot", r"YandexBot/(\d+[\d.]*)"),
+    ("Baiduspider", r"Baiduspider[+ /]*(\d*[\d.]*)"),
+    ("DuckDuckBot", r"DuckDuckBot/(\d+[\d.]*)"),
+    ("Applebot", r"Applebot/(\d+[\d.]*)"),
+    ("AhrefsBot", r"AhrefsBot/(\d+[\d.]*)"),
+    ("SemrushBot", r"SemrushBot/(\d+[\d.]*)"),
+    ("PetalBot", r"PetalBot()"),
+    ("Bytespider", r"Bytespider()"),
+    ("GPTBot", r"GPTBot/(\d+[\d.]*)"),
+    ("ClaudeBot", r"ClaudeBot/(\d+[\d.]*)"),
+    ("FacebookBot", r"facebookexternalhit/(\d+[\d.]*)"),
+    # -- in-app / embedded webviews (embed Chrome + Mobile Safari tokens)
+    ("WeChat", r"MicroMessenger/(\d+[\d.]*)"),
+    ("Facebook", r"FBAV/(\d+[\d.]*)"),
+    ("Instagram", r"Instagram[ /](\d+[\d.]*)"),
+    ("Amazon Silk", r"Silk/(\d+[\d.]*)"),
+    ("DuckDuckGo Mobile", r"DuckDuckGo/(\d+[\d.]*)"),
+    ("Firefox Focus", r"Focus/(\d+[\d.]*)"),
+    ("MiuiBrowser", r"MiuiBrowser/(\d+[\d.]*)"),
+    ("HuaweiBrowser", r"HuaweiBrowser/(\d+[\d.]*)"),
+    ("QQ Browser", r"QQBrowser/(\d+[\d.]*)"),
+    ("Baidu Browser", r"BIDUBrowser[ /](\d+[\d.]*)"),
+    ("Coc Coc", r"coc_coc_browser/(\d+[\d.]*)"),
+    # -- operas (Mini outranks Mobile outranks desktop; Mini reports the
+    #    Presto Version/ token like uap-core's enriched example)
+    ("Opera Mini", r"Opera Mini/[\d.]+.*Version/(\d+[\d.]*)"),
+    ("Opera Mini", r"Opera Mini/(\d+[\d.]*)"),
     ("Opera Mobile", r"Opera Mobi.*Version/(\d+[\d.]*)"),
     ("Opera", r"OPR/(\d+[\d.]*)"),
     ("Opera", r"Opera[ /](\d+[\d.]*)"),
+    # -- named Chromium forks (embed a Chrome token)
     ("Samsung Internet", r"SamsungBrowser/(\d+[\d.]*)"),
     ("UC Browser", r"UCBrowser/(\d+[\d.]*)"),
     ("Yandex Browser", r"YaBrowser/(\d+[\d.]*)"),
     ("Vivaldi", r"Vivaldi/(\d+[\d.]*)"),
+    ("Whale", r"Whale/(\d+[\d.]*)"),
     ("Edge", r"Edg(?:e|A|iOS)?/(\d+[\d.]*)"),
+    ("HeadlessChrome", r"HeadlessChrome/(\d+[\d.]*)"),
+    ("Chromium", r"Chromium/(\d+[\d.]*)"),
+    ("Electron", r"Electron/(\d+[\d.]*)"),
+    ("Maxthon", r"Maxthon[ /](\d+[\d.]*)"),
+    # -- gecko forks (embed a Firefox token)
+    ("SeaMonkey", r"SeaMonkey/(\d+[\d.]*)"),
+    ("Pale Moon", r"PaleMoon/(\d+[\d.]*)"),
+    ("Waterfox", r"Waterfox/(\d+[\d.]*)"),
+    ("Thunderbird", r"Thunderbird/(\d+[\d.]*)"),
+    ("Epiphany", r"Epiphany/(\d+[\d.]*)"),
+    # -- iOS ports outrank Safari; Mobile variants outrank desktop
     ("Firefox iOS", r"FxiOS/(\d+[\d.]*)"),
     ("Chrome Mobile iOS", r"CriOS/(\d+[\d.]*)"),
     ("Firefox Mobile", r"(?:Android|Mobile).*Firefox/(\d+[\d.]*)"),
@@ -393,13 +441,22 @@ _UA_BROWSERS = [
     ("Safari", r"Version/(\d+[\d.]*).*Safari"),
     ("IE", r"MSIE (\d+[\d.]*)"),
     ("IE", r"Trident/.*rv:(\d+[\d.]*)"),
-    ("Googlebot", r"Googlebot/(\d+[\d.]*)"),
-    ("bingbot", r"bingbot/(\d+[\d.]*)"),
+    ("Konqueror", r"Konqueror/(\d+[\d.]*)"),
+    # -- HTTP clients / SDKs
     ("curl", r"curl/(\d+[\d.]*)"),
     ("Wget", r"[Ww]get/(\d+[\d.]*)"),
     ("Python Requests", r"python-requests/(\d+[\d.]*)"),
+    ("Python aiohttp", r"Python/[\d.]+ aiohttp/(\d+[\d.]*)"),
     ("Go-http-client", r"Go-http-client/(\d+[\d.]*)"),
     ("okhttp", r"okhttp/(\d+[\d.]*)"),
+    ("Apache-HttpClient", r"Apache-HttpClient/(\d+[\d.]*)"),
+    ("Java", r"Java/(\d+[\d._]*)"),
+    ("axios", r"axios/(\d+[\d.]*)"),
+    ("node-fetch", r"node-fetch/(\d+[\d.]*)"),
+    ("Dart", r"Dart/(\d+[\d.]*)"),
+    ("PostmanRuntime", r"PostmanRuntime/(\d+[\d.]*)"),
+    ("Scrapy", r"Scrapy/(\d+[\d.]*)"),
+    ("libwww-perl", r"libwww-perl/(\d+[\d.]*)"),
 ]
 
 # (family, pattern-with-version-group); '' group -> NULL version
@@ -407,11 +464,20 @@ _UA_OS = [
     ("Windows Phone", r"Windows Phone (?:OS )?(\d+[\d.]*)"),
     ("Windows", r"Windows NT (\d+[\d.]*)"),
     ("Chrome OS", r"CrOS [^ ]+ (\d+[\d.]*)"),
+    ("KaiOS", r"KA?IOS/(\d+[\d.]*)"),
+    ("Tizen", r"Tizen[ /](\d+[\d.]*)"),
+    ("BlackBerry OS", r"(?:BB10|BlackBerry).*Version/(\d+[\d.]*)"),
     ("Android", r"Android (\d+[\d.]*)"),
+    # Opera Mini on iPhone reports "iPhone; CPU iPhone OS 4_2_1" w/o the
+    # "like Mac OS X" tail reaching the version, same group either way
     ("iOS", r"(?:iPhone|iPad|iPod).* OS (\d+[_\d]*)"),
+    ("iOS", r"(?:iPhone|iPad|iPod)()"),
     ("Mac OS X", r"Mac OS X (\d+[_.\d]*)"),
     ("Ubuntu", r"(Ubuntu)"),
     ("Fedora", r"(Fedora)"),
+    ("FreeBSD", r"(FreeBSD)"),
+    ("OpenBSD", r"(OpenBSD)"),
+    ("NetBSD", r"(NetBSD)"),
     ("Linux", r"(Linux)"),
 ]
 
@@ -422,10 +488,15 @@ _WINDOWS_NT_VERSIONS = {
 }
 
 _UA_DEVICES = [
-    ("Spider", r"Googlebot|bingbot|Slurp|DuckDuckBot|Baiduspider|crawler"),
+    ("Spider", r"Googlebot|bingbot|Slurp|DuckDuckBot|Baiduspider|crawler"
+               r"|YandexBot|Applebot|AhrefsBot|SemrushBot|PetalBot"
+               r"|Bytespider|GPTBot|ClaudeBot|facebookexternalhit"),
+    ("Kindle", r"Kindle|Silk"),
+    ("Smart TV", r"SMART-TV|SmartTV|AppleTV|GoogleTV|Tizen.*TV"),
     ("iPhone", r"iPhone"),
     ("iPad", r"iPad"),
-    ("Generic Smartphone", r"Android.*Mobile|Windows Phone|Opera Mobi"),
+    ("Generic Smartphone", r"Android.*Mobile|Windows Phone|Opera Mobi"
+                           r"|Opera Mini|BB10|KA?IOS/"),
     ("Generic Tablet", r"Android"),
     ("Mac", r"Macintosh"),
 ]
@@ -456,7 +527,8 @@ def parse_user_agent(c) -> dict[str, Column]:
                 mapped = (F.when(cnd, mk) if mapped is None
                           else mapped.when(cnd, mk))
             v = mapped.otherwise(raw_v)
-        elif name in ("Ubuntu", "Fedora", "Linux"):
+        elif name in ("Ubuntu", "Fedora", "Linux",
+                      "FreeBSD", "OpenBSD", "NetBSD"):
             v = F.lit(None).cast("string")
         else:
             v = F.replace(raw_v, F.lit("_"), F.lit("."))
