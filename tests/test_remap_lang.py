@@ -240,3 +240,85 @@ def test_nested_single_projection_plan(ndf):
     """)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+# -- closures (round-5: map_values/map_keys/filter -> |..| { .. }) -------
+
+@pytest.fixture(scope="module")
+def cdf(spark):
+    """Closure fixture: array + map columns."""
+    return spark.createDataFrame(
+        [(1, ["alpha", "be", "gamma"], {"env": "prod", "dc": "eu"}, "x"),
+         (2, ["delta"], {"env": "dev"}, "delta"),
+         (3, [], {}, None)],
+        "id int, tags array<string>, attrs map<string,string>, pick string")
+
+
+def test_closure_map_values_array(cdf):
+    out = _by_id(remap(cdf, '.tags = map_values(.tags) -> |v| { upcase(v) }')
+                 .collect())
+    assert out[1]["tags"] == ["ALPHA", "BE", "GAMMA"]
+    assert out[3]["tags"] == []
+
+
+def test_closure_filter_array_two_params(cdf):
+    out = _by_id(remap(
+        cdf, '.long_tags = filter(.tags) -> |_i, v| { strlen(v) > 2 }')
+        .collect())
+    assert out[1]["long_tags"] == ["alpha", "gamma"]
+    assert out[2]["long_tags"] == ["delta"]
+
+
+def test_closure_filter_array_index_param(cdf):
+    # VRL order: |index, value| — index is usable in the body
+    out = _by_id(remap(
+        cdf, '.rest = filter(.tags) -> |i, v| { i > 0 }').collect())
+    assert out[1]["rest"] == ["be", "gamma"]
+    assert out[2]["rest"] == []
+
+
+def test_closure_map_values_map_and_map_keys(cdf):
+    out = _by_id(remap(cdf, """
+        .attrs = map_values(.attrs) -> |v| { upcase(v) }
+        .attrs = map_keys(.attrs) -> |k| { upcase(k) }
+    """).collect())
+    assert out[1]["attrs"] == {"ENV": "PROD", "DC": "EU"}
+    assert out[2]["attrs"] == {"ENV": "DEV"}
+
+
+def test_closure_filter_map(cdf):
+    out = _by_id(remap(
+        cdf, '.attrs = filter(.attrs) -> |k, v| { k == "env" }')
+        .collect())
+    assert out[1]["attrs"] == {"env": "prod"}
+    assert out[3]["attrs"] == {}
+
+
+def test_closure_body_reads_outer_field(cdf):
+    out = _by_id(remap(
+        cdf, '.hits = filter(.tags) -> |_i, v| { v == .pick }').collect())
+    assert out[1]["hits"] == []
+    assert out[2]["hits"] == ["delta"]
+
+
+def test_closure_chained_with_statements(cdf):
+    out = _by_id(remap(cdf, """
+        .n_long = length(filter(.tags) -> |_i, v| { strlen(v) > 2 })
+        if .n_long > 1 { .label = "wordy" } else { .label = "terse" }
+    """).collect())
+    assert out[1]["label"] == "wordy" and out[1]["n_long"] == 2
+    assert out[2]["label"] == "terse"
+
+
+def test_closure_for_each_rejected(cdf):
+    with pytest.raises(ValueError, match="for_each"):
+        remap(cdf, 'for_each(.tags) -> |_i, v| { upcase(v) }')
+
+
+def test_closure_stays_jvm_side(cdf):
+    out = remap(cdf, """
+        .tags = map_values(.tags) -> |v| { upcase(v) }
+        .attrs = filter(.attrs) -> |k, v| { k != "dc" }
+    """)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan

@@ -1220,6 +1220,28 @@ def q_remap_nested(spark, sf_dir):
         F.col("missing").cast("string").alias("missing"))
 
 
+def q_remap_closures(spark, sf_dir):
+    """VRL closure syntax (round-5 remap_lang extension; reference
+    higher-order closures in map_values.cue/filter.cue): filter with
+    |index, value|, map_values with |value|, polymorphic length() — all
+    compiled to Spark higher-order functions (filter/transform), zero
+    Python. Oracle = DuckDB list_filter/list_transform."""
+    from vector_spark.functions.remap_lang import remap
+
+    t = _transcripts(spark, sf_dir)
+    staged = t.select("conv_id", "turn_idx",
+                      F.split(F.col("text"), " ").alias("words"))
+    out = remap(staged, """
+        .long_words = filter(.words) -> |_i, v| { strlen(v) > 3 }
+        .shouted = map_values(.long_words) -> |v| { upcase(v) }
+        .n_long = length(.long_words)
+        .joined = join(.shouted, "-")
+    """)
+    return out.select("conv_id", "turn_idx",
+                      F.col("n_long").cast("long").alias("n_long"),
+                      F.col("joined").alias("shouted"))
+
+
 def q_agg_histogram(spark, sf_dir):
     """log_to_metric distribution -> hourly AggregatedHistogram per
     event_type (operators/metrics.py::aggregate_histogram)."""
@@ -2039,6 +2061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "remap_dropped_port": q_remap_dropped,
     "remap_program": q_remap_program,
     "remap_nested_paths": q_remap_nested,
+    "remap_closures": q_remap_closures,
     "sample_ratio": q_sample_ratio,
     # -- driver-green in r01+r02: hold the back of the window --
     "pipeline_sink_counts": q_sink_counts,
@@ -2094,28 +2117,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 #: Round-5 window rotation (round-3 verdict #6 methodology): the
-#: correctness driver checks the FIRST 50 keys. With 101 queries and a
+#: correctness driver checks the FIRST 50 keys. With 102 queries and a
 #: 50-slot window, r04 (50 keys) ∪ r05 can cover at most 100, so exactly
-#: two r03-checked entries stay 2 rounds stale — chosen as near-twins of
-#: in-window entries (enrich_tool_ci ~ enrich_tool, same module;
-#: sample_ratio ~ sample_consistent/sample_key_exclude) and still
-#: oracle-cross-checked by pytest every suite run. Window = (a) the four
+#: three r03-checked entries stay 2 rounds stale — chosen as near-twins
+#: of in-window entries (enrich_tool_ci ~ enrich_tool, same module;
+#: sample_ratio ~ sample_consistent/sample_key_exclude;
+#: text_token_counts ~ text_token_counts_bpe) and still
+#: oracle-cross-checked by pytest every suite run. Window = (a) the five
 #: entries NEW in round 5, (b) text_pack_sequences (r04's one red row —
 #: oracle BIGINT cast fixed in ff17f34, must re-check), then (c) the
-#: remaining 45 entries whose latest driver check is r03, the ones whose
-#: code paths were touched this round first (remap_lang nested paths,
-#: vrl_names zstd re-binding).
+#: remaining 44 entries whose latest driver check is r03, the ones whose
+#: code paths were touched this round first (remap_lang nested paths +
+#: closures, vrl_names zstd re-binding).
 _R5_FRONT = [
     # (a) new in round 5
     "zstd_roundtrip", "parse_otlp_proto", "framed_chunked_gelf",
-    "remap_nested_paths",
+    "remap_nested_paths", "remap_closures",
     # (b) the round-4 red row, oracle fixed
     "text_pack_sequences",
     # (c) last checked in r03 — code-touched this round first
     "remap_program", "remap_dropped_port", "vrl_codec_hash_funcs",
     "vrl_shape_text_funcs", "vrl_net_crypto_funcs", "parse_otlp",
     "parse_influxdb", "parse_native_json", "media_byte_features",
-    "pipeline_sink_counts", "parse_classify", "text_token_counts",
+    "pipeline_sink_counts", "parse_classify",
     "text_token_counts_bpe", "text_quality", "text_lang_id",
     "text_fingerprint", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
@@ -2392,6 +2416,15 @@ def oracle_sql_for(sf: str) -> dict[str, str]:
                   ELSE CAST(turn_idx AS BIGINT) * 2 END AS calls,
              split_part(text, ' ', 1) AS first_word,
              CAST(NULL AS VARCHAR) AS missing
+      FROM read_parquet('{tp}')"""
+
+    o["remap_closures"] = f"""SELECT conv_id, turn_idx,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> length(x) > 3)) AS BIGINT) AS n_long,
+             array_to_string(
+               list_transform(list_filter(string_split(text, ' '),
+                                          x -> length(x) > 3),
+                              x -> upper(x)), '-') AS shouted
       FROM read_parquet('{tp}')"""
 
     # NB: DuckDB sum(INTEGER) returns HUGEINT which lands in pandas as

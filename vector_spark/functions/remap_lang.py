@@ -21,7 +21,9 @@ Grammar:
     or/and/!/comparison                    -- as functions/conditions.py
     additive:= mult (("+"|"-") mult)*      -- numeric add or string concat
     mult    := unary (("*"|"/") unary)*
-    primary := "(" expr ")" | call | path | literal
+    primary := "(" expr ")" | call | closure_call | path | literal
+    closure_call := ("map_values"|"map_keys"|"filter") "(" path ")"
+                    "->" "|" ident ("," ident)? "|" "{" expr "}"
 
 Sequential semantics: later statements observe earlier assignments
 (an env of name -> Column threads through compilation); ``if`` guards
@@ -43,6 +45,17 @@ dropping it (the two branches would otherwise have different struct
 schemas), array-index writes must be the final segment, and
 intermediate segments under a root the program already rewrote are
 assumed to exist.
+
+Closures (round-5 extension; reference VRL closure syntax,
+website/cue/reference/remap/expressions/ + map_values.cue/filter.cue):
+``map_values(.x) -> |v| { expr }``, ``map_keys(.m) -> |k| { expr }``
+and ``filter(.x) -> |i, v| { bool }`` compile to Spark higher-order
+functions (transform / transform_keys / transform_values / filter /
+map_filter) — per-element logic stays JVM-side. The input schema picks
+the array vs map variant; closure bodies are a single expression (VRL
+returns the closure's last expression) and may read outer fields.
+``for_each`` is rejected with an actionable error: its closure exists
+for side effects, which a columnar plan cannot express.
 """
 
 from __future__ import annotations
@@ -51,7 +64,8 @@ import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StructType
+from pyspark.sql.types import (ArrayType, MapType, NullType, StringType,
+                               StructType)
 
 from vector_spark.functions import vrl
 
@@ -63,7 +77,7 @@ _TOKEN_RE = re.compile(
     r"|(?P<path>\.(?:[A-Za-z_][A-Za-z0-9_]*)"
     r"(?:\.(?:[A-Za-z_][A-Za-z0-9_]*)|\[-?\d+\])*)"
     r"|(?P<ident>[A-Za-z_][A-Za-z0-9_]*)"
-    r"|(?P<op>==|!=|<=|>=|\|\||&&|\?\?|[!<>(),{}=;+\-*/])"
+    r"|(?P<op>==|!=|<=|>=|\|\||->|&&|\?\?|[!<>(),{}=;+\-*/|])"
     r")"
 )
 
@@ -103,6 +117,15 @@ _FUNCS = {
 }
 
 _KEYWORDS = {"if", "else", "del", "true", "false", "null", "abort"}
+
+# Closure-capable stdlib calls (VRL closure syntax: higher_order.cue;
+# e.g. map_values(.arr) -> |v| { upcase(v) }). Compiled to Spark
+# higher-order functions: transform/transform_keys/transform_values/
+# filter/map_filter — still zero Python in the hot path. `for_each` is
+# deliberately absent: its closure exists for side effects (mutating
+# other event fields per element), which a columnar plan can't express;
+# the compiler raises an actionable error naming map_values instead.
+_CLOSURE_FUNCS = {"map_values", "map_keys", "filter"}
 
 # abort support (reference: VRL `abort` expression + remap's
 # drop_on_abort/reroute_dropped, src/transforms/remap.rs:497-557):
@@ -204,6 +227,16 @@ class _Compiler:
         # event: later statements are suppressed for aborted rows)
         self.aborted: Column | None = None
         self.abort_msg: Column | None = None
+        # closure params in scope (name -> lambda-variable Column) while
+        # compiling a closure body
+        self.closure_env: dict[str, Column] = {}
+        # container dtype of program-ASSIGNED roots when derivable from
+        # the RHS (closure call / split / schema-known path), so
+        # length() on a program-built array dispatches to size()
+        self.env_dtype: dict[str, object] = {}
+        # dtype of the most recently parsed primary (path / closure
+        # call), None when unknowable — consumed by length()
+        self._hint = None
 
     # -- token plumbing -------------------------------------------------
     def peek(self) -> _Tok | None:
@@ -244,11 +277,34 @@ class _Compiler:
         return F.col(name)
 
     def _root_dtype(self, name: str):
-        """Schema type of an UNTOUCHED root (None once rewritten or when
-        only column names are known)."""
-        if name in self.env or self.known is None:
+        """Schema type of an untouched root, or the recorded container
+        type of a program-assigned one (None when unknowable)."""
+        if name in self.env:
+            return self.env_dtype.get(name)
+        if self.known is None:
             return None
         return self.known.get(name)
+
+    def _path_dtype(self, segs: list):
+        """Schema type at a path, or None when unknowable (rewritten
+        root, names-only schema, missing segment)."""
+        root = segs[0][1]
+        dtype = self._root_dtype(root)
+        if dtype is None:
+            return None
+        for kind, key in segs[1:]:
+            if kind == "f":
+                if (isinstance(dtype, StructType)
+                        and key in dtype.fieldNames()):
+                    dtype = dtype[key].dataType
+                else:
+                    return None
+            else:
+                if isinstance(dtype, ArrayType):
+                    dtype = dtype.elementType
+                else:
+                    return None
+        return dtype
 
     def _read_path(self, segs: list) -> Column:
         root = segs[0][1]
@@ -447,11 +503,13 @@ class _Compiler:
             name = segs[0][1]
             self.expect("=")
             value = self._as_col(self.expr())
+            rhs_dtype = self._hint
             self._maybe_semi()
             if len(segs) == 1:
                 if guard is not None:
                     value = F.when(guard, value).otherwise(self._field(name))
                 self.env[name] = value
+                self.env_dtype[name] = rhs_dtype
             else:
                 if guard is not None:
                     # push the guard into the LEAF so both branches share
@@ -572,29 +630,138 @@ class _Compiler:
 
     def primary(self):
         t = self.next()
+        self._hint = None
         if t.value == "(":
             c = self.expr()
             self.expect(")")
             return c
         if t.kind == "path":
-            return self._read_path(_parse_path(t.value))
+            segs = _parse_path(t.value)
+            self._hint = self._path_dtype(segs)
+            return self._read_path(segs)
         if t.kind == "num":
             return float(t.value) if "." in t.value else int(t.value)
         if t.kind == "str":
             return t.value[1:-1].replace('\\"', '"').replace("\\\\", "\\")
         if t.kind == "ident":
+            if t.value in self.closure_env:
+                return self.closure_env[t.value]
             if t.value == "true":
                 return F.lit(True)
             if t.value == "false":
                 return F.lit(False)
             if t.value == "null":
                 return F.lit(None)
+            if t.value in _CLOSURE_FUNCS:
+                return self.closure_call(t.value)
+            if t.value == "for_each":
+                raise ValueError(
+                    "remap: for_each's closure exists for side effects, "
+                    "which a columnar plan cannot express — rewrite with "
+                    "map_values/filter (returning a value) instead")
             if t.value in _FUNCS:
                 return self.call(t.value)
             raise ValueError(f"unknown identifier {t.value!r}")
         raise ValueError(f"unexpected token {t!r} in expression")
 
+    def closure_call(self, name: str) -> Column:
+        """VRL closure syntax (higher_order.cue):
+        ``map_values(.x) -> |v| { expr }`` / ``map_keys(.m) -> |k| {..}``
+        / ``filter(.x) -> |i, v| { bool }`` compiled to Spark
+        higher-order functions. The input schema picks the array vs map
+        variant (VRL's filter/map_values accept both); with no type
+        information the array variant is assumed. Closure bodies are a
+        single expression (VRL returns the closure's last expression);
+        outer fields and enclosing closure params stay readable."""
+        self.expect("(")
+        t = self.next()
+        if t.kind != "path":
+            raise ValueError(f"{name}() takes a path argument in closure "
+                             f"form, got {t.value!r}")
+        segs = _parse_path(t.value)
+        col = self._read_path(segs)
+        dtype = self._path_dtype(segs)
+        self.expect(")")
+        self.expect("->")
+        self.expect("|")
+        params: list[str] = []
+        while True:
+            p = self.next()
+            if p.kind != "ident":
+                raise ValueError(f"bad closure parameter {p.value!r}")
+            params.append(p.value)
+            if self.peek() and self.peek().value == ",":
+                self.next()
+                continue
+            break
+        self.expect("|")
+        self.expect("{")
+        body_start = self.i
+        end_i = [body_start]
+
+        def body(bindings: dict[str, Column]) -> Column:
+            saved_i, saved_env = self.i, self.closure_env
+            self.i = body_start
+            self.closure_env = {**saved_env, **bindings}
+            try:
+                val = self._as_col(self.expr())
+                end_i[0] = self.i
+            finally:
+                self.i, self.closure_env = saved_i, saved_env
+            return val
+
+        is_map = isinstance(dtype, MapType)
+        if name == "map_keys":
+            if len(params) != 1:
+                raise ValueError("map_keys closure takes |key|")
+            out = F.transform_keys(col, lambda k, v: body({params[0]: k}))
+        elif name == "map_values":
+            if len(params) != 1:
+                raise ValueError("map_values closure takes |value|")
+            if is_map:
+                out = F.transform_values(
+                    col, lambda k, v: body({params[0]: v}))
+            else:
+                out = F.transform(col, lambda v: body({params[0]: v}))
+        else:  # filter — VRL closure order: |index, value| / |key, value|
+            if is_map:
+                if len(params) != 2:
+                    raise ValueError("filter closure on an object takes "
+                                     "|key, value|")
+                out = F.map_filter(
+                    col, lambda k, v: body({params[0]: k, params[1]: v}))
+            elif len(params) == 2:
+                out = F.filter(
+                    col, lambda v, i: body({params[0]: i, params[1]: v}))
+            else:
+                out = F.filter(col, lambda v: body({params[0]: v}))
+        self.i = end_i[0]
+        self.expect("}")
+        # result container type: filter keeps the input's; map_values /
+        # map_keys keep the container but may change element types
+        if name == "filter":
+            self._hint = dtype if dtype is not None else (
+                MapType(StringType(), NullType()) if is_map
+                else ArrayType(NullType()))
+        else:
+            self._hint = (MapType(StringType(), NullType()) if is_map
+                          else ArrayType(NullType()))
+        return out
+
     def call(self, name: str):
+        if name == "length":
+            # VRL length() is polymorphic: elements for arrays, keys for
+            # objects, chars for strings. Dispatch at compile time from
+            # the argument's dtype hint (schema path walk, closure-call
+            # result, or a recorded program-assigned container type).
+            self.expect("(")
+            col = self._as_col(self.expr())
+            sizeish = isinstance(self._hint, (ArrayType, MapType))
+            self.expect(")")
+            self._hint = None
+            if sizeish:
+                return F.size(col).cast("long")
+            return F.length(col).cast("long")
         fn, lo, hi = _FUNCS[name]
         self.expect("(")
         args = []
@@ -612,7 +779,9 @@ class _Compiler:
         # first arg is always the value -> Column
         if conv and isinstance(conv[0], (str, int, float)):
             conv[0] = F.lit(conv[0])
-        return fn(*conv)
+        out = fn(*conv)
+        self._hint = ArrayType(StringType()) if name == "split" else None
+        return out
 
     # -- helpers ----------------------------------------------------------
     @staticmethod
