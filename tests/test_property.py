@@ -260,3 +260,26 @@ def test_snappy_roundtrip_property(data):
                                                snappy_decompress)
 
     assert snappy_decompress(snappy_compress(data)) == data
+
+
+@given(st.binary(min_size=0, max_size=4096))
+@settings(max_examples=150, deadline=None)
+def test_zstd_raw_rle_roundtrip_property(data):
+    from vector_spark.functions.zstd_codec import (zstd_compress,
+                                                   zstd_decompress)
+
+    assert zstd_decompress(zstd_compress(data)) == data
+
+
+@given(st.integers(0, 255), st.integers(1, 200000))
+@settings(max_examples=40, deadline=None)
+def test_zstd_rle_block_compresses_runs(byte, n):
+    from vector_spark.functions.zstd_codec import (zstd_compress,
+                                                   zstd_decompress)
+
+    run = bytes([byte]) * n
+    enc = zstd_compress(run)
+    assert zstd_decompress(enc) == run
+    # a single repeated byte must take the RLE block, not a raw copy
+    if n > 64:
+        assert len(enc) < 64
